@@ -1,0 +1,25 @@
+"""HCR-Genesis-LR-CL-TPU: a TPU-native legged-robot learning & control framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+`oscar-youngquist/HCR_Genesis_LR_CL` (legged_gym lineage):
+
+- `physics/`   batched articulated-body dynamics (Featherstone ABA), compliant
+               contact against procedural heightfields, PD actuators — one engine
+               replacing the reference's Genesis/IsaacGym/IsaacLab backends
+               (reference: legged_gym/simulator/*.py).
+- `terrain/`   procedural heightfield generators (reference: legged_gym/utils/terrain*.py).
+- `envs/`      pure-functional vectorized tasks (reference: legged_gym/envs/*).
+- `rl/`        PPO + variants, GAE-as-scan, flax networks (reference: rsl_rl/*).
+- `mpc/`       iLQR/SQP trajectory optimization over the differentiable physics
+               (new; the driver's north-star engine).
+- `parallel/`  jax.sharding mesh construction + collective reducers (new; the
+               reference is single-GPU only).
+- `ops/`       Pallas TPU kernels for the hot paths.
+
+Everything simulates/trains inside `jax.jit` over a sharded env-state PyTree;
+there is no host round-trip in the hot loop.
+"""
+
+__version__ = "0.1.0"
+
+from hcr_genesis_lr_cl_tpu.core import config  # noqa: F401

@@ -1,0 +1,1 @@
+from hcr_genesis_lr_cl_tpu.core import config  # noqa: F401

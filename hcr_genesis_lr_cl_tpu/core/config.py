@@ -1,0 +1,460 @@
+"""Frozen-dataclass config tree.
+
+Mirrors the section names of the reference config system
+(`legged_gym/envs/base/legged_robot_config.py`, `base_config.py:4-25`) so every
+reference knob has a home, but is immutable + hashable so whole configs can be
+closed over at `jax.jit` trace time (the idiomatic JAX replacement for the
+reference's mutable nested-class trees).
+
+Tasks override by `dataclasses.replace` / subclass with new defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+def cfg(**kwargs):
+    """Shorthand: `field(default_factory=lambda: X(**kwargs))` for nested configs."""
+
+    def factory(cls):
+        return field(default_factory=lambda: cls(**kwargs))
+
+    return factory
+
+
+def _tup(*x):
+    return field(default_factory=lambda: tuple(x))
+
+
+# ---------------------------------------------------------------------------
+# Env / terrain / robot sections (reference: legged_robot_config.py:4-272)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EnvCfg:
+    num_envs: int = 4096
+    num_observations: int = 48
+    num_privileged_obs: Optional[int] = None
+    num_actions: int = 12
+    send_timeouts: bool = True
+    episode_length_s: float = 20.0
+    env_spacing: float = 1.0
+    # time a fail state must persist before reset (reference env.fail_to_terminal_time_s)
+    fail_to_terminal_time_s: float = 0.1
+    # physics substeps per sim dt (new knob: the TPU engine integrates explicitly,
+    # the reference delegates to implicit PhysX/Genesis solvers)
+    # history stacking (reference: legged_robot_ts.py frame_stack / c_frame_stack)
+    frame_stack: int = 1
+    c_frame_stack: int = 1
+    num_single_obs: Optional[int] = None
+    num_single_critic_obs: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class TerrainCfg:
+    mesh_type: str = "plane"  # plane | heightfield
+    plane_length: float = 200.0
+    horizontal_scale: float = 0.1  # [m] grid pitch
+    vertical_scale: float = 0.005  # [m] height quantum
+    border_size: float = 5.0  # [m]
+    border_height: float = 1.0  # [m]
+    curriculum: bool = False
+    static_friction: float = 1.0
+    dynamic_friction: float = 1.0
+    restitution: float = 0.0
+    obtain_terrain_info_around_feet: bool = False
+    measure_heights: bool = False
+    measured_points_x: Tuple[float, ...] = _tup(
+        -0.8, -0.7, -0.6, -0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8
+    )
+    measured_points_y: Tuple[float, ...] = _tup(
+        -0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5
+    )
+    selected: bool = False
+    selected_type: str = "pyramid_stairs"
+    terrain_kwargs: Tuple[Tuple[str, float], ...] = ()
+    max_init_terrain_level: int = 1
+    terrain_length: float = 6.0
+    terrain_width: float = 6.0
+    platform_size: float = 3.0
+    num_rows: int = 4  # curriculum levels
+    num_cols: int = 4  # terrain types
+    # proportions over types: [smooth slope, rough slope, stairs up, stairs down,
+    # discrete, stepping stones, gap, pit] (reference terrain.py:132-181)
+    terrain_proportions: Tuple[float, ...] = _tup(0.1, 0.1, 0.35, 0.25, 0.2)
+    slope_treshold: float = 0.75
+
+
+@dataclass(frozen=True)
+class InitStateCfg:
+    pos: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    rot: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)  # xyzw (gym convention)
+    lin_vel: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    ang_vel: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    roll_random_scale: float = 0.0
+    pitch_random_scale: float = 0.0
+    yaw_random_scale: float = 0.0
+    # (name, angle) pairs; target angles when action == 0
+    default_joint_angles: Tuple[Tuple[str, float], ...] = ()
+    # reset randomization of dof positions: uniform +- per-joint scale (rad).
+    # scalar fallback used when per-joint tuple not given (reference _reset_dofs +-0.2)
+    dof_pos_reset_scale: float = 0.2
+    dof_pos_reset_scales: Tuple[float, ...] = ()
+    # base velocity randomization at reset (reference legged_robot.py:295-297)
+    reset_base_lin_vel_scale: float = 0.5
+    reset_base_ang_vel_scale: float = 0.5
+    reset_base_xy_scale: float = 0.5  # xy offset on custom origins
+    # probabilistic alternate init pose (reference tron1_sf sit_init_percent)
+    alt_init_percent: float = 0.0
+    alt_joint_angles: Tuple[Tuple[str, float], ...] = ()
+    alt_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class ControlCfg:
+    control_type: str = "P"  # P | V | T
+    stiffness: Tuple[Tuple[str, float], ...] = ()  # substring-matched per joint
+    damping: Tuple[Tuple[str, float], ...] = ()
+    action_scale: float = 0.5
+    dt: float = 0.02  # policy dt (50 Hz)
+    decimation: int = 4  # sim steps per policy step
+
+
+@dataclass(frozen=True)
+class AssetCfg:
+    name: str = ""
+    file: str = ""
+    foot_name: str = "foot"
+    penalize_contacts_on: Tuple[str, ...] = ()
+    terminate_after_contacts_on: Tuple[str, ...] = ()
+    fix_base_link: bool = False
+    obtain_link_contact_states: bool = False
+    contact_state_link_names: Tuple[str, ...] = ("thigh", "calf", "foot")
+    base_link_name: str = "base"
+    self_collisions: int = 0
+    dof_names: Tuple[str, ...] = ()
+    links_to_keep: Tuple[str, ...] = ()
+    dof_vel_limits: Tuple[float, ...] = ()
+    disable_gravity: bool = False
+    armature: float = 0.0
+    angular_damping: float = 0.0
+    linear_damping: float = 0.0
+
+
+@dataclass(frozen=True)
+class RewardScalesCfg:
+    """Union of the reward terms across all reference tasks; 0 disables a term.
+
+    (reference: legged_robot.py:458-608, go2_wtw.py, tron1_*, legged_robot_nav.py)
+    """
+
+    termination: float = 0.0
+    tracking_lin_vel: float = 0.0
+    tracking_ang_vel: float = 0.0
+    lin_vel_z: float = 0.0
+    ang_vel_xy: float = 0.0
+    orientation: float = 0.0
+    torques: float = 0.0
+    dof_vel: float = 0.0
+    dof_acc: float = 0.0
+    dof_power: float = 0.0
+    base_height: float = 0.0
+    feet_air_time: float = 0.0
+    collision: float = 0.0
+    feet_stumble: float = 0.0
+    action_rate: float = 0.0
+    action_smoothness: float = 0.0
+    dof_pos_stand_still: float = 0.0
+    dof_vel_stand_still: float = 0.0
+    feet_contact_stand_still: float = 0.0
+    dof_pos_limits: float = 0.0
+    dof_vel_limits: float = 0.0
+    torque_limits: float = 0.0
+    dof_close_to_default: float = 0.0
+    foot_clearance: float = 0.0
+    foot_landing_vel: float = 0.0
+    foot_acc: float = 0.0
+    keep_balance: float = 0.0
+    hip_pos: float = 0.0
+    # biped terms (tron1_pf.py:146-153, tron1_sf.py:286-308)
+    feet_distance: float = 0.0
+    no_fly: float = 0.0
+    ankle_torques: float = 0.0
+    feet_rotation: float = 0.0
+    # periodic-gait terms (go2_wtw.py:472, tron1_pf_ee.py:426)
+    quad_periodic_gait: float = 0.0
+    biped_periodic_gait: float = 0.0
+    # wtw extra shaping
+    tracking_base_height: float = 0.0
+    tracking_orientation: float = 0.0
+
+    def items(self):
+        return {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if getattr(self, f.name) != 0.0
+        }.items()
+
+
+@dataclass(frozen=True)
+class RewardsCfg:
+    scales: RewardScalesCfg = field(default_factory=RewardScalesCfg)
+    only_positive_rewards: bool = True
+    tracking_sigma: float = 0.25
+    soft_dof_pos_limit: float = 1.0
+    soft_dof_vel_limit: float = 1.0
+    soft_torque_limit: float = 1.0
+    base_height_target: float = 1.0
+    foot_clearance_target: float = 0.04
+    foot_height_offset: float = 0.0
+    foot_clearance_tracking_sigma: float = 0.01
+    about_landing_threshold: float = 0.08
+    max_projected_gravity: float = -0.1  # termination condition
+    min_feet_distance: float = 0.1  # biped
+    max_feet_distance: float = 0.6  # biped
+
+
+@dataclass(frozen=True)
+class CommandRangesCfg:
+    lin_vel_x: Tuple[float, float] = (-1.0, 1.0)
+    lin_vel_y: Tuple[float, float] = (-1.0, 1.0)
+    ang_vel_yaw: Tuple[float, float] = (-1.0, 1.0)
+    heading: Tuple[float, float] = (-3.14, 3.14)
+
+
+@dataclass(frozen=True)
+class CommandsCfg:
+    curriculum: bool = False
+    max_curriculum: float = 1.0
+    num_commands: int = 4
+    resampling_time: float = 10.0
+    heading_command: bool = True
+    curriculum_threshold: float = 0.8
+    min_norm: float = 0.2  # commands below this norm are zeroed
+    ranges: CommandRangesCfg = field(default_factory=CommandRangesCfg)
+
+
+@dataclass(frozen=True)
+class DomainRandCfg:
+    randomize_friction: bool = True
+    friction_range: Tuple[float, float] = (0.5, 1.25)
+    randomize_base_mass: bool = True
+    added_mass_range: Tuple[float, float] = (-1.0, 1.0)
+    push_robots: bool = True
+    push_interval_s: float = 15.0
+    max_push_vel_xy: float = 1.0
+    randomize_com_displacement: bool = True
+    com_pos_x_range: Tuple[float, float] = (-0.01, 0.01)
+    com_pos_y_range: Tuple[float, float] = (-0.01, 0.01)
+    com_pos_z_range: Tuple[float, float] = (-0.01, 0.01)
+    randomize_ctrl_delay: bool = False
+    ctrl_delay_step_range: Tuple[int, int] = (0, 1)
+    randomize_pd_gain: bool = False
+    kp_range: Tuple[float, float] = (0.8, 1.2)
+    kd_range: Tuple[float, float] = (0.8, 1.2)
+    randomize_joint_armature: bool = False
+    joint_armature_range: Tuple[float, float] = (0.0, 0.05)
+    randomize_joint_friction: bool = False
+    joint_friction_range: Tuple[float, float] = (0.0, 0.1)
+    randomize_joint_damping: bool = False
+    joint_damping_range: Tuple[float, float] = (0.0, 1.0)
+
+
+@dataclass(frozen=True)
+class ObsScalesCfg:
+    lin_vel: float = 1.0
+    ang_vel: float = 0.25
+    dof_pos: float = 1.0
+    dof_vel: float = 0.05
+    height_measurements: float = 5.0
+
+
+@dataclass(frozen=True)
+class NormalizationCfg:
+    obs_scales: ObsScalesCfg = field(default_factory=ObsScalesCfg)
+    clip_observations: float = 100.0
+    clip_actions: float = 100.0
+
+
+@dataclass(frozen=True)
+class NoiseScalesCfg:
+    dof_pos: float = 0.01
+    dof_vel: float = 0.5
+    lin_vel: float = 0.1
+    ang_vel: float = 0.2
+    gravity: float = 0.05
+    height_measurements: float = 0.1
+
+
+@dataclass(frozen=True)
+class NoiseCfg:
+    add_noise: bool = True
+    noise_level: float = 1.0
+    noise_scales: NoiseScalesCfg = field(default_factory=NoiseScalesCfg)
+
+
+@dataclass(frozen=True)
+class ConstraintLimitCfg:
+    """One CaT constraint (reference: go2_cat.py:135-215, constraint_manager.py)."""
+
+    name: str
+    max_p: float = 0.25  # max termination probability (1.0 == hard constraint)
+    soft_p: float = 0.25
+    limit: float = 0.0  # threshold; semantic depends on the constraint name
+    tau: float = 0.95  # Polyak coefficient for the running max violation
+
+
+@dataclass(frozen=True)
+class ConstraintsCfg:
+    limits: Tuple[ConstraintLimitCfg, ...] = ()
+    min_p: float = 0.0
+
+
+@dataclass(frozen=True)
+class DepthCameraCfg:
+    num_sensors: int = 1
+    num_history: int = 1
+    near_clip: float = 0.1
+    far_clip: float = 10.0
+    resolution: Tuple[int, int] = (80, 60)
+    horizontal_fov_deg: float = 75.0
+    pos: Tuple[float, float, float] = (0.3, 0.0, 0.1)
+    euler: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    decimation: int = 5
+
+
+@dataclass(frozen=True)
+class SensorCfg:
+    add_depth: bool = False
+    depth_camera: DepthCameraCfg = field(default_factory=DepthCameraCfg)
+
+
+@dataclass(frozen=True)
+class SimCfg:
+    dt: float = 0.005  # 200 Hz
+    substeps: int = 2  # explicit-integrator substeps per sim dt (TPU engine knob)
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    # compliant-contact parameters (TPU engine; reference delegates to PhysX/Genesis)
+    contact_stiffness: float = 8000.0  # [N/m] normal penalty spring
+    contact_damping: float = 150.0  # [N*s/m] normal damper
+    contact_friction_vel: float = 0.15  # [m/s] friction regularization velocity
+    joint_limit_stiffness: float = 60.0  # [N*m/rad]
+    joint_limit_damping: float = 2.0
+
+
+@dataclass(frozen=True)
+class LeggedRobotCfg:
+    env: EnvCfg = field(default_factory=EnvCfg)
+    terrain: TerrainCfg = field(default_factory=TerrainCfg)
+    init_state: InitStateCfg = field(default_factory=InitStateCfg)
+    control: ControlCfg = field(default_factory=ControlCfg)
+    asset: AssetCfg = field(default_factory=AssetCfg)
+    rewards: RewardsCfg = field(default_factory=RewardsCfg)
+    commands: CommandsCfg = field(default_factory=CommandsCfg)
+    domain_rand: DomainRandCfg = field(default_factory=DomainRandCfg)
+    normalization: NormalizationCfg = field(default_factory=NormalizationCfg)
+    noise: NoiseCfg = field(default_factory=NoiseCfg)
+    constraints: ConstraintsCfg = field(default_factory=ConstraintsCfg)
+    sensor: SensorCfg = field(default_factory=SensorCfg)
+    sim: SimCfg = field(default_factory=SimCfg)
+
+    # ---- derived (reference: legged_robot.py:436-455 `_parse_cfg`) ----
+    @property
+    def dt(self) -> float:
+        return self.sim.dt * self.control.decimation
+
+    @property
+    def max_episode_length(self) -> int:
+        import math
+
+        return int(math.ceil(self.env.episode_length_s / self.dt))
+
+    @property
+    def push_interval(self) -> int:
+        import math
+
+        return max(1, int(math.ceil(self.domain_rand.push_interval_s / self.dt)))
+
+    def replace(self, **kw) -> "LeggedRobotCfg":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Training sections (reference: legged_robot_config.py:274-322)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PolicyCfg:
+    init_noise_std: float = 1.0
+    actor_hidden_dims: Tuple[int, ...] = (512, 256, 128)
+    critic_hidden_dims: Tuple[int, ...] = (512, 256, 128)
+    activation: str = "elu"
+    # recurrent variant
+    rnn_type: str = "lstm"
+    rnn_hidden_size: int = 512
+    rnn_num_layers: int = 1
+    # TS/EE/CTS/DreamWaQ extras
+    latent_dims: int = 32
+    privilege_encoder_hidden_dims: Tuple[int, ...] = (256, 128)
+    history_encoder_hidden_dims: Tuple[int, ...] = (256, 128)
+    history_encoder_type: str = "mlp"  # mlp | tcn
+    estimator_hidden_dims: Tuple[int, ...] = (256, 128)
+    num_estimated_states: int = 24
+    vae_latent_dims: int = 16
+    vae_encoder_hidden_dims: Tuple[int, ...] = (256, 128)
+    vae_decoder_hidden_dims: Tuple[int, ...] = (128, 256)
+
+
+@dataclass(frozen=True)
+class AlgorithmCfg:
+    value_loss_coef: float = 1.0
+    use_clipped_value_loss: bool = True
+    clip_param: float = 0.2
+    entropy_coef: float = 0.01
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    learning_rate: float = 1.0e-3
+    schedule: str = "adaptive"  # adaptive | fixed
+    gamma: float = 0.99
+    lam: float = 0.95
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+    use_spo: bool = False  # Simple Policy Optimization (quadratic penalty surrogate)
+    # variant extras
+    encoder_learning_rate: float = 1.0e-3
+    estimator_learning_rate: float = 1.0e-3
+    vae_learning_rate: float = 1.0e-3
+    vae_beta: float = 1.0
+    num_teacher: int = 0  # CTS: first num_teacher envs act via privilege encoder
+
+
+@dataclass(frozen=True)
+class RunnerCfg:
+    policy_class_name: str = "ActorCritic"
+    algorithm_class_name: str = "PPO"
+    runner_class_name: str = "OnPolicyRunner"
+    num_steps_per_env: int = 24
+    max_iterations: int = 1500
+    save_interval: int = 50
+    experiment_name: str = "test"
+    run_name: str = ""
+    resume: bool = False
+    load_run: int = -1
+    checkpoint: int = -1
+    log_interval: int = 1
+
+
+@dataclass(frozen=True)
+class TrainCfg:
+    seed: int = 1
+    policy: PolicyCfg = field(default_factory=PolicyCfg)
+    algorithm: AlgorithmCfg = field(default_factory=AlgorithmCfg)
+    runner: RunnerCfg = field(default_factory=RunnerCfg)
+
+    def replace(self, **kw) -> "TrainCfg":
+        return dataclasses.replace(self, **kw)

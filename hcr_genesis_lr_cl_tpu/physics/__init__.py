@@ -1,0 +1,1 @@
+from hcr_genesis_lr_cl_tpu.physics.model import RobotModel, load_robot  # noqa: F401

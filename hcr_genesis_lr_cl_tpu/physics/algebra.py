@@ -1,0 +1,111 @@
+"""Spatial (Plücker 6-D) vector algebra, Featherstone conventions.
+
+Motion vectors are `[angular(3); linear(3)]`. A coordinate transform is stored
+as the pair `(E, r)` where `E` rotates A-coordinates into B-coordinates and
+`r` is the position of B's origin expressed in A. All functions broadcast over
+leading batch dimensions and are differentiable.
+
+This is the math layer under the TPU engine that replaces the reference's
+native simulator backends (reference: legged_gym/simulator/*_simulator.py,
+which delegate all of this to Genesis/PhysX).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.utils.math import skew
+
+
+def xf_compose(E1, r1, E2, r2):
+    """Compose A->B (E1,r1) with B->C (E2,r2) giving A->C."""
+    E = E2 @ E1
+    r = r1 + jnp.einsum("...ji,...j->...i", E1, r2)
+    return E, r
+
+
+def xf_inv(E, r):
+    """Invert A->B to B->A."""
+    return jnp.swapaxes(E, -1, -2), -jnp.einsum("...ij,...j->...i", E, r)
+
+
+def xf_motion(E, r, m):
+    """Transform a motion vector from A to B coordinates."""
+    w, v = m[..., :3], m[..., 3:]
+    wb = jnp.einsum("...ij,...j->...i", E, w)
+    vb = jnp.einsum("...ij,...j->...i", E, v - jnp.cross(r, w))
+    return jnp.concatenate([wb, vb], axis=-1)
+
+
+def xf_motion_inv(E, r, m):
+    """Transform a motion vector from B back to A coordinates."""
+    w, v = m[..., :3], m[..., 3:]
+    wa = jnp.einsum("...ji,...j->...i", E, w)
+    va = jnp.einsum("...ji,...j->...i", E, v) + jnp.cross(r, wa)
+    return jnp.concatenate([wa, va], axis=-1)
+
+
+def xf_force(E, r, f):
+    """Transform a force vector [n; f] from A to B coordinates."""
+    n, fl = f[..., :3], f[..., 3:]
+    nb = jnp.einsum("...ij,...j->...i", E, n - jnp.cross(r, fl))
+    fb = jnp.einsum("...ij,...j->...i", E, fl)
+    return jnp.concatenate([nb, fb], axis=-1)
+
+
+def xf_force_inv(E, r, f):
+    """Transform a force vector from B back to A coordinates."""
+    n, fl = f[..., :3], f[..., 3:]
+    fa = jnp.einsum("...ji,...j->...i", E, fl)
+    na = jnp.einsum("...ji,...j->...i", E, n) + jnp.cross(r, fa)
+    return jnp.concatenate([na, fa], axis=-1)
+
+
+def xf_mat(E, r):
+    """Dense 6x6 motion transform X = [[E, 0], [-E r~, E]]."""
+    z = jnp.zeros_like(E)
+    top = jnp.concatenate([E, z], axis=-1)
+    bot = jnp.concatenate([-E @ skew(r), E], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def xf_inertia_to_parent(E, r, I6):
+    """Transform an (articulated) inertia from child (B) to parent (A) coords.
+
+    With X the B<-A motion transform built from (E, r): I_A = X^T I_B X.
+    """
+    X = xf_mat(E, r)
+    return jnp.swapaxes(X, -1, -2) @ I6 @ X
+
+
+def crm(v, m):
+    """Spatial motion cross product v x m."""
+    w, vl = v[..., :3], v[..., 3:]
+    w2, v2 = m[..., :3], m[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, w2), jnp.cross(w, v2) + jnp.cross(vl, w2)], axis=-1
+    )
+
+
+def crf(v, f):
+    """Spatial force cross product v x* f."""
+    w, vl = v[..., :3], v[..., 3:]
+    n, fl = f[..., :3], f[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, n) + jnp.cross(vl, fl), jnp.cross(w, fl)], axis=-1
+    )
+
+
+def spatial_inertia(mass, com, inertia_com):
+    """Build the 6x6 spatial inertia of a body about its frame origin.
+
+    mass: scalar; com: (3,) origin->com; inertia_com: (3,3) about the com.
+    I = [[Ic + m c~ c~^T, m c~], [m c~^T, m 1]]
+    """
+    c = skew(com)
+    cct = c @ jnp.swapaxes(c, -1, -2)
+    m = mass[..., None, None] if jnp.ndim(mass) else mass
+    top = jnp.concatenate([inertia_com + m * cct, m * c], axis=-1)
+    eye = jnp.broadcast_to(jnp.eye(3), c.shape)
+    bot = jnp.concatenate([m * jnp.swapaxes(c, -1, -2), m * eye], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

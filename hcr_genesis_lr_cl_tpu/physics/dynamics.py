@@ -1,0 +1,152 @@
+"""Batched articulated-body dynamics (Featherstone ABA) + integrator.
+
+Single-environment pure functions over a `RobotModel`; the engine vmaps them
+over the env batch. Loops over the ~13 bodies are static Python loops, so XLA
+sees one flat fused graph per step — the idiomatic TPU replacement for the
+reference's Genesis/PhysX `scene.step()` native calls
+(reference: legged_gym/simulator/genesis_simulator.py:25-33).
+
+State layout (topological joint order):
+- base_quat: (4,) wxyz, base_pos: (3,) world
+- v_base:    (6,) spatial [omega; v_origin] in *base frame* coordinates
+- q, qd:     (nj,)
+
+Gravity uses the standard "accelerate the base frame" trick: ABA solves for
+accelerations relative to a free-falling frame; the gravity field is added
+back when integrating the base velocity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.physics import algebra as sp
+from hcr_genesis_lr_cl_tpu.physics.model import RobotModel
+from hcr_genesis_lr_cl_tpu.utils import math as hm
+
+
+class Kinematics(NamedTuple):
+    """World-frame kinematics of every body (single env)."""
+
+    R_w: jnp.ndarray  # (nb, 3, 3) body->world rotation
+    p_w: jnp.ndarray  # (nb, 3) body origin in world
+    v_b: jnp.ndarray  # (nb, 6) spatial velocity in body coords
+    # per-joint cached transforms child<-parent: (E, r)
+    Ej: jnp.ndarray  # (nj, 3, 3)
+    rj: jnp.ndarray  # (nj, 3)
+    S: jnp.ndarray  # (nj, 6) joint motion subspace in child coords
+
+
+def joint_transforms(model: RobotModel, q: jnp.ndarray):
+    """Per-joint child<-parent transform (E, r) and motion subspace S at q."""
+    Es, rs, Ss = [], [], []
+    for j in range(model.nj):
+        a = model.joint_axis[j]
+        if model.joint_types[j] == "revolute":
+            Rq = hm.quat_to_rotmat(hm.quat_from_axis_angle(a, q[j]))
+            E = Rq.T @ model.Et[j]
+            r = model.rt[j]
+            S = jnp.concatenate([a, jnp.zeros(3)])
+        else:  # prismatic
+            E = model.Et[j]
+            r = model.rt[j] + jnp.einsum("ji,j->i", model.Et[j], a * q[j])
+            S = jnp.concatenate([jnp.zeros(3), a])
+        Es.append(E)
+        rs.append(r)
+        Ss.append(S)
+    if model.nj == 0:
+        return jnp.zeros((0, 3, 3)), jnp.zeros((0, 3)), jnp.zeros((0, 6))
+    return jnp.stack(Es), jnp.stack(rs), jnp.stack(Ss)
+
+
+def forward_kinematics(
+    model: RobotModel,
+    base_quat: jnp.ndarray,
+    base_pos: jnp.ndarray,
+    v_base: jnp.ndarray,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+) -> Kinematics:
+    Ej, rj, S = joint_transforms(model, q)
+    R_w = [hm.quat_to_rotmat(base_quat)]
+    p_w = [base_pos]
+    v_b = [v_base]
+    for j in range(model.nj):
+        pi = model.parent[j + 1]
+        # world pose: R_w(child) = R_w(parent) @ E_j^T ; p_w = p_w(parent) + R_w(parent) r_j
+        R_w.append(R_w[pi] @ Ej[j].T)
+        p_w.append(p_w[pi] + R_w[pi] @ rj[j])
+        v = sp.xf_motion(Ej[j], rj[j], v_b[pi]) + S[j] * qd[j]
+        v_b.append(v)
+    return Kinematics(jnp.stack(R_w), jnp.stack(p_w), jnp.stack(v_b), Ej, rj, S)
+
+
+def aba(
+    model: RobotModel,
+    kin: Kinematics,
+    qd: jnp.ndarray,  # (nj,)
+    tau: jnp.ndarray,  # (nj,) joint torques (topo order)
+    f_ext: jnp.ndarray,  # (nb, 6) external spatial forces in *body* coords
+    I_body: jnp.ndarray = None,  # optional per-env override (nb, 6, 6)
+    armature: jnp.ndarray = None,  # optional per-env override (nj,)
+):
+    """Articulated-body algorithm (Featherstone).
+
+    Returns (a_base(6) in base coords, relative to the gravity field, qdd(nj,)).
+    """
+    nb, nj = model.nb, model.nj
+    I_body = model.I_body if I_body is None else I_body
+    armature = model.armature if armature is None else armature
+    Ej, rj, S, v = kin.Ej, kin.rj, kin.S, kin.v_b
+
+    # pass 1: velocity-product terms & bias forces
+    c = [jnp.zeros(6)] * nb
+    IA = [I_body[i] for i in range(nb)]
+    pA = [sp.crf(v[i], I_body[i] @ v[i]) - f_ext[i] for i in range(nb)]
+    for j in range(nj):
+        c[j + 1] = sp.crm(v[j + 1], S[j] * qd[j])
+
+    # pass 2: articulated-inertia backward sweep
+    U = [None] * nb
+    D = [None] * nb
+    u = [None] * nb
+    for j in range(nj - 1, -1, -1):
+        i = j + 1
+        pi = model.parent[i]
+        U[i] = IA[i] @ S[j]
+        D[i] = S[j] @ U[i] + armature[j]
+        u[i] = tau[j] - S[j] @ pA[i]
+        Ia = IA[i] - jnp.outer(U[i], U[i]) / D[i]
+        pa = pA[i] + Ia @ c[i] + U[i] * (u[i] / D[i])
+        IA[pi] = IA[pi] + sp.xf_inertia_to_parent(Ej[j], rj[j], Ia)
+        pA[pi] = pA[pi] + sp.xf_force_inv(Ej[j], rj[j], pa)
+
+    # floating base: 6x6 solve, accelerations relative to the gravity field
+    a = [jnp.zeros(6)] * nb
+    a[0] = -jnp.linalg.solve(IA[0] + 1e-9 * jnp.eye(6), pA[0])
+
+    # pass 3: outward acceleration sweep
+    qdd = [None] * nj
+    for j in range(nj):
+        i = j + 1
+        pi = model.parent[i]
+        a_i = sp.xf_motion(Ej[j], rj[j], a[pi]) + c[i]
+        qdd[j] = (u[i] - U[i] @ a_i) / D[i]
+        a[i] = a_i + S[j] * qdd[j]
+
+    return a[0], (jnp.stack(qdd) if nj else jnp.zeros((0,)))
+
+
+def integrate(base_quat, base_pos, v_base, q, qd, a_base_rel, qdd, gravity, dt):
+    """Semi-implicit Euler. a_base_rel is ABA's gravity-relative base accel."""
+    R_wb = hm.quat_to_rotmat(base_quat)
+    g_body = jnp.concatenate([jnp.zeros(3), R_wb.T @ jnp.asarray(gravity)])
+    v_base_new = v_base + dt * (a_base_rel + g_body)
+    qd_new = qd + dt * qdd
+    # positions advance with the updated velocities
+    base_quat_new = hm.quat_integrate(base_quat, v_base_new[:3], dt)
+    base_pos_new = base_pos + dt * (R_wb @ v_base_new[3:])
+    q_new = q + dt * qd_new
+    return base_quat_new, base_pos_new, v_base_new, q_new, qd_new

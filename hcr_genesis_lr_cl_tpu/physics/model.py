@@ -1,0 +1,267 @@
+"""Fixed-topology articulation model (a PyTree) + builder from URDF.
+
+The model is the static "robot description" shared by all environments; all
+per-env quantities (domain randomization, state) live elsewhere. Bodies are in
+topological order (parent[i] < i, body 0 = floating base). Joint arrays are in
+topological order too; `user_dof_idx` maps the task's actuated-dof order
+(cfg.asset.dof_names, which matches the real robot, `common_cfgs.py:52-65`)
+to topological order.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from hcr_genesis_lr_cl_tpu.physics import urdf as urdf_mod
+
+
+@struct.dataclass
+class RobotModel:
+    # ---- static metadata (not traced) ----
+    nb: int = struct.field(pytree_node=False)  # number of bodies (incl. base)
+    nj: int = struct.field(pytree_node=False)  # number of movable joints == nb-1
+    parent: Tuple[int, ...] = struct.field(pytree_node=False)  # per body, -1 for base
+    joint_names: Tuple[str, ...] = struct.field(pytree_node=False)  # topo order
+    joint_types: Tuple[str, ...] = struct.field(pytree_node=False)  # 'revolute'|'prismatic'
+    body_names: Tuple[str, ...] = struct.field(pytree_node=False)
+    user_dof_idx: Tuple[int, ...] = struct.field(pytree_node=False)  # user order -> topo idx
+    # per-geom static attachment
+    geom_body: Tuple[int, ...] = struct.field(pytree_node=False)
+    geom_slot: Tuple[int, ...] = struct.field(pytree_node=False)  # original-link slot
+    slot_names: Tuple[str, ...] = struct.field(pytree_node=False)  # original link names
+    slot_body: Tuple[int, ...] = struct.field(pytree_node=False)  # body of each slot
+    site_names: Tuple[str, ...] = struct.field(pytree_node=False)
+    site_body: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    # ---- traced arrays ----
+    joint_axis: jnp.ndarray  # (nj, 3) in child body frame
+    Et: jnp.ndarray  # (nj, 3, 3) fixed tree rotation (parent coords -> child coords at q=0)
+    rt: jnp.ndarray  # (nj, 3) child frame origin in parent coords
+    I_body: jnp.ndarray  # (nb, 6, 6) spatial inertia in body frame
+    body_mass: jnp.ndarray  # (nb,)
+    q_lo: jnp.ndarray  # (nj,)
+    q_hi: jnp.ndarray  # (nj,)
+    effort_limit: jnp.ndarray  # (nj,)
+    vel_limit: jnp.ndarray  # (nj,)
+    joint_damping: jnp.ndarray  # (nj,) from URDF <dynamics>
+    joint_friction: jnp.ndarray  # (nj,)
+    armature: jnp.ndarray  # (nj,)
+    geom_offset: jnp.ndarray  # (ng, 3) sphere center in body frame
+    geom_radius: jnp.ndarray  # (ng,)
+    site_offset: jnp.ndarray  # (ns, 3) site origin in body frame
+    site_rot: jnp.ndarray  # (ns, 3, 3) site orientation in body frame
+
+    @property
+    def ng(self) -> int:
+        return len(self.geom_body)
+
+    @property
+    def num_slots(self) -> int:
+        return len(self.slot_names)
+
+    def sites_named(self, substr: str) -> Tuple[int, ...]:
+        """Indices of sites whose original link name contains `substr`."""
+        return tuple(i for i, n in enumerate(self.site_names) if substr in n)
+
+    def slots_named(self, substrs) -> Tuple[int, ...]:
+        if isinstance(substrs, str):
+            substrs = (substrs,)
+        return tuple(
+            i for i, n in enumerate(self.slot_names) if any(s in n for s in substrs)
+        )
+
+    def dofs_named(self, substr: str) -> Tuple[int, ...]:
+        """User-order dof indices whose joint name contains `substr`."""
+        topo_names = self.joint_names
+        return tuple(
+            u for u, t in enumerate(self.user_dof_idx) if substr in topo_names[t]
+        )
+
+
+def _point_mass_inertia(m, c):
+    """Inertia of point mass m at offset c, about the origin: -m c~ c~."""
+    cs = np.array([[0, -c[2], c[1]], [c[2], 0, -c[0]], [-c[1], c[0], 0]])
+    return -m * cs @ cs
+
+
+class _BodyAccum:
+    """Composite rigid body accumulator (mass, first moment, inertia@origin)."""
+
+    def __init__(self):
+        self.m = 0.0
+        self.h = np.zeros(3)  # m * com
+        self.Io = np.zeros((3, 3))  # inertia about body origin
+
+    def add(self, mass, com, I_com):
+        self.m += mass
+        self.h += mass * np.asarray(com)
+        self.Io += np.asarray(I_com) + _point_mass_inertia(mass, com)
+
+    def spatial(self):
+        hs = np.array(
+            [[0, -self.h[2], self.h[1]], [self.h[2], 0, -self.h[0]], [-self.h[1], self.h[0], 0]]
+        )
+        I6 = np.zeros((6, 6))
+        I6[:3, :3] = self.Io
+        I6[:3, 3:] = hs
+        I6[3:, :3] = hs.T
+        I6[3:, 3:] = self.m * np.eye(3)
+        return I6
+
+
+def build_model(
+    urdf_path: str,
+    dof_names: Tuple[str, ...] = (),
+    keep_sites: Tuple[str, ...] = (),
+    armature: float = 0.0,
+) -> RobotModel:
+    """Parse a URDF and build the collapsed articulation model.
+
+    keep_sites: substrings of link names to record as kinematic sites (feet).
+    """
+    links, joints, root = urdf_mod.parse_urdf(urdf_path)
+    by_parent = {}
+    for j in joints:
+        by_parent.setdefault(j.parent, []).append(j)
+
+    # --- DFS collapsing fixed joints ---
+    parent_idx = [-1]
+    body_names = [root]
+    joint_rows = []  # (name, type, axis, Et, rt, lo, hi, eff, vel, damp, fric)
+    accum = [_BodyAccum()]
+    link_frames = {root: (0, np.eye(3), np.zeros(3))}  # link -> (body, R_bl, p_bl)
+
+    def absorb(body_idx, link_name, R_bl, p_bl):
+        lk = links[link_name]
+        com_b = p_bl + R_bl @ lk.com
+        accum[body_idx].add(lk.mass, com_b, R_bl @ lk.inertia_com @ R_bl.T)
+        link_frames[link_name] = (body_idx, R_bl, p_bl)
+
+    def dfs(link_name):
+        body_idx, R_bl, p_bl = link_frames[link_name]
+        for j in by_parent.get(link_name, []):
+            R_bc = R_bl @ j.R  # child link frame in current body frame
+            p_bc = p_bl + R_bl @ j.p
+            if j.jtype == "fixed":
+                absorb(body_idx, j.child, R_bc, p_bc)
+                dfs(j.child)
+            elif j.jtype in ("revolute", "continuous", "prismatic"):
+                new_idx = len(body_names)
+                parent_idx.append(body_idx)
+                body_names.append(j.child)
+                accum.append(_BodyAccum())
+                lo, hi = (j.lower, j.upper) if j.jtype != "continuous" else (-1e9, 1e9)
+                jt = "prismatic" if j.jtype == "prismatic" else "revolute"
+                joint_rows.append(
+                    (j.name, jt, j.axis, R_bc.T, p_bc, lo, hi, j.effort, j.velocity,
+                     j.damping, j.friction)
+                )
+                link_frames[j.child] = (new_idx, np.eye(3), np.zeros(3))
+                absorb(new_idx, j.child, np.eye(3), np.zeros(3))
+                dfs(j.child)
+            else:
+                raise ValueError(f"unsupported joint type {j.jtype}")
+
+    absorb(0, root, np.eye(3), np.zeros(3))
+    # absorb() above registered root twice via link_frames init; reset accumulator
+    accum[0] = _BodyAccum()
+    lk = links[root]
+    accum[0].add(lk.mass, lk.com, lk.inertia_com)
+    dfs(root)
+
+    nb = len(body_names)
+    nj = nb - 1
+
+    # --- geoms: decompose collisions of every original link into spheres ---
+    slot_names = []
+    slot_body = []
+    geom_body, geom_slot, geom_offset, geom_radius = [], [], [], []
+    for lname, (b, R_bl, p_bl) in link_frames.items():
+        lk = links[lname]
+        if not lk.collisions:
+            continue
+        slot = len(slot_names)
+        slot_names.append(lname)
+        slot_body.append(b)
+        for (Rc, pc, shape, params) in lk.collisions:
+            R = R_bl @ Rc
+            p = p_bl + R_bl @ pc
+            for off, rad in urdf_mod.decompose_to_spheres(shape, params, R, p):
+                geom_body.append(b)
+                geom_slot.append(slot)
+                geom_offset.append(off)
+                geom_radius.append(rad)
+
+    # --- sites (feet frames etc.) ---
+    site_names, site_body, site_offset, site_rot = [], [], [], []
+    for lname, (b, R_bl, p_bl) in link_frames.items():
+        if any(s in lname for s in keep_sites):
+            site_names.append(lname)
+            site_body.append(b)
+            site_offset.append(p_bl)
+            site_rot.append(R_bl)
+    order = np.argsort(site_names)  # deterministic order (FL, FR, RL, RR)
+    site_names = [site_names[i] for i in order]
+    site_body = [site_body[i] for i in order]
+    site_offset = [site_offset[i] for i in order] or [np.zeros(3)]
+    site_rot = [site_rot[i] for i in order] or [np.eye(3)]
+
+    # --- dof ordering ---
+    topo_names = [r[0] for r in joint_rows]
+    if dof_names:
+        assert set(dof_names) == set(topo_names), (
+            f"dof_names mismatch: {set(dof_names) ^ set(topo_names)}"
+        )
+        user_dof_idx = tuple(topo_names.index(n) for n in dof_names)
+    else:
+        user_dof_idx = tuple(range(nj))
+
+    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.float32)
+    return RobotModel(
+        nb=nb,
+        nj=nj,
+        parent=tuple(parent_idx),
+        joint_names=tuple(topo_names),
+        joint_types=tuple(r[1] for r in joint_rows),
+        body_names=tuple(body_names),
+        user_dof_idx=user_dof_idx,
+        geom_body=tuple(geom_body),
+        geom_slot=tuple(geom_slot),
+        slot_names=tuple(slot_names),
+        slot_body=tuple(slot_body),
+        site_names=tuple(site_names),
+        site_body=tuple(site_body),
+        joint_axis=f32([r[2] for r in joint_rows]) if nj else jnp.zeros((0, 3)),
+        Et=f32([r[3] for r in joint_rows]) if nj else jnp.zeros((0, 3, 3)),
+        rt=f32([r[4] for r in joint_rows]) if nj else jnp.zeros((0, 3)),
+        I_body=f32([a.spatial() for a in accum]),
+        body_mass=f32([a.m for a in accum]),
+        q_lo=f32([r[5] for r in joint_rows]) if nj else jnp.zeros((0,)),
+        q_hi=f32([r[6] for r in joint_rows]) if nj else jnp.zeros((0,)),
+        effort_limit=f32([r[7] for r in joint_rows]) if nj else jnp.zeros((0,)),
+        vel_limit=f32([r[8] for r in joint_rows]) if nj else jnp.zeros((0,)),
+        joint_damping=f32([r[9] for r in joint_rows]) if nj else jnp.zeros((0,)),
+        joint_friction=f32([r[10] for r in joint_rows]) if nj else jnp.zeros((0,)),
+        armature=f32(np.full(nj, armature)) if nj else jnp.zeros((0,)),
+        geom_offset=f32(geom_offset) if geom_offset else jnp.zeros((0, 3)),
+        geom_radius=f32(geom_radius) if geom_radius else jnp.zeros((0,)),
+        site_offset=f32(site_offset),
+        site_rot=f32(site_rot),
+    )
+
+
+def load_robot(urdf_path: str, asset_cfg=None) -> RobotModel:
+    """Build a RobotModel honoring the task's AssetCfg."""
+    if asset_cfg is None:
+        return build_model(urdf_path)
+    keep = tuple(asset_cfg.links_to_keep) or (asset_cfg.foot_name,)
+    return build_model(
+        urdf_path,
+        dof_names=tuple(asset_cfg.dof_names),
+        keep_sites=keep,
+        armature=asset_cfg.armature,
+    )

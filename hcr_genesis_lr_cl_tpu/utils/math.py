@@ -1,0 +1,166 @@
+"""Batched SO(3)/quaternion/rigid-transform math in jnp.
+
+Covers the capability surface of the reference's `legged_gym/utils/math_utils.py`
+and `gs_utils.py` (quat mul/apply/rotate-inverse, quat_apply_yaw, wrap_to_pi,
+get_euler_xyz, uniform sampling) as pure jnp functions that broadcast over any
+leading batch dims.
+
+Conventions:
+- Quaternions are **wxyz**, Hamilton, unit norm. (The reference exposes xyzw at
+  its simulator boundary, `simulator.py:327-334`; use `quat_wxyz_to_xyzw` there.)
+- `quat_rotate(q, v)` applies the body->world rotation R(q) to v.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize(v, axis=-1, eps=1e-9):
+    return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + eps)
+
+
+# ---------------------------------------------------------------------------
+# Quaternions (wxyz)
+# ---------------------------------------------------------------------------
+
+
+def quat_identity(shape=()):
+    q = jnp.zeros(shape + (4,))
+    return q.at[..., 0].set(1.0)
+
+
+def quat_mul(a, b):
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q):
+    return q * jnp.array([1.0, -1.0, -1.0, -1.0])
+
+
+def quat_rotate(q, v):
+    """Rotate v by q (body->world if q is body orientation)."""
+    w = q[..., 0:1]
+    u = q[..., 1:4]
+    # v' = v + 2*w*(u x v) + 2*u x (u x v)
+    uv = jnp.cross(u, v)
+    return v + 2.0 * (w * uv + jnp.cross(u, uv))
+
+
+def quat_rotate_inverse(q, v):
+    return quat_rotate(quat_conj(q), v)
+
+
+def quat_apply_yaw(q, v):
+    """Rotate v by only the yaw component of q (reference math_utils.py:43)."""
+    q_yaw = q * jnp.array([1.0, 0.0, 0.0, 1.0])
+    q_yaw = normalize(q_yaw)
+    return quat_rotate(q_yaw, v)
+
+
+def quat_from_axis_angle(axis, angle):
+    axis = jnp.asarray(axis)
+    half = 0.5 * jnp.asarray(angle)
+    s = jnp.sin(half)
+    return jnp.concatenate(
+        [jnp.cos(half)[..., None], axis * s[..., None]], axis=-1
+    )
+
+
+def quat_from_euler_xyz(roll, pitch, yaw):
+    cr, sr = jnp.cos(roll * 0.5), jnp.sin(roll * 0.5)
+    cp, sp = jnp.cos(pitch * 0.5), jnp.sin(pitch * 0.5)
+    cy, sy = jnp.cos(yaw * 0.5), jnp.sin(yaw * 0.5)
+    return jnp.stack(
+        [
+            cr * cp * cy + sr * sp * sy,
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+        ],
+        axis=-1,
+    )
+
+
+def get_euler_xyz(q):
+    """wxyz quat -> (roll, pitch, yaw) (reference math_utils.py:90)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    roll = jnp.arctan2(2.0 * (w * x + y * z), 1.0 - 2.0 * (x * x + y * y))
+    pitch_sin = jnp.clip(2.0 * (w * y - z * x), -1.0, 1.0)
+    pitch = jnp.arcsin(pitch_sin)
+    yaw = jnp.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+    return roll, pitch, yaw
+
+
+def quat_to_rotmat(q):
+    """wxyz quat -> 3x3 rotation matrix (body->world)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return r.reshape(r.shape[:-1] + (3, 3))
+
+
+def quat_integrate(q, omega_body, dt):
+    """Integrate unit quat by body-frame angular velocity over dt (exp map)."""
+    angle = jnp.linalg.norm(omega_body, axis=-1, keepdims=True)
+    half = 0.5 * dt * angle
+    # sinc-safe axis*sin(half)
+    k = jnp.where(angle > 1e-8, jnp.sin(half) / jnp.maximum(angle, 1e-8), 0.5 * dt)
+    dq = jnp.concatenate([jnp.cos(half), omega_body * k], axis=-1)
+    return normalize(quat_mul(q, dq))
+
+
+def quat_wxyz_to_xyzw(q):
+    return jnp.concatenate([q[..., 1:4], q[..., 0:1]], axis=-1)
+
+
+def quat_xyzw_to_wxyz(q):
+    return jnp.concatenate([q[..., 3:4], q[..., 0:3]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Misc (reference math_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def wrap_to_pi(x):
+    return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def uniform(key, lo, hi, shape):
+    """`torch_rand_float` equivalent (reference math_utils.py:79)."""
+    return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+
+
+def skew(v):
+    """3-vector -> skew-symmetric matrix (v x)."""
+    z = jnp.zeros_like(v[..., 0])
+    r = jnp.stack(
+        [z, -v[..., 2], v[..., 1],
+         v[..., 2], z, -v[..., 0],
+         -v[..., 1], v[..., 0], z],
+        axis=-1,
+    )
+    return r.reshape(v.shape[:-1] + (3, 3))
+
+
+def rpy_to_rotmat(rpy):
+    """URDF rpy (fixed-axis XYZ) -> rotation matrix."""
+    return quat_to_rotmat(quat_from_euler_xyz(rpy[..., 0], rpy[..., 1], rpy[..., 2]))

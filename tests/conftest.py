@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh
+(`--xla_force_host_platform_device_count=8`), the JAX-supported way to test
+DP/collective code without a real pod. Real-TPU benchmarking lives in
+`bench.py`, not in the test suite.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
