@@ -336,12 +336,12 @@ class SensorCfg:
 @dataclass(frozen=True)
 class SimCfg:
     dt: float = 0.005  # 200 Hz
-    substeps: int = 2  # explicit-integrator substeps per sim dt (TPU engine knob)
+    substeps: int = 4  # explicit-integrator substeps per sim dt (TPU engine knob)
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
     # compliant-contact parameters (TPU engine; reference delegates to PhysX/Genesis)
     contact_stiffness: float = 8000.0  # [N/m] normal penalty spring
     contact_damping: float = 150.0  # [N*s/m] normal damper
-    contact_friction_vel: float = 0.15  # [m/s] friction regularization velocity
+    contact_friction_vel: float = 0.1  # [m/s] friction regularization velocity
     joint_limit_stiffness: float = 60.0  # [N*m/rad]
     joint_limit_damping: float = 2.0
 

@@ -1,0 +1,1 @@
+from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState, LeggedEnv, StepOut  # noqa: F401

@@ -1,0 +1,59 @@
+"""Task registry: name -> (env class, env cfg factory, train cfg factory).
+
+Reference: `legged_gym/utils/task_registry.py` + `envs/__init__.py:80-93`.
+Tasks register themselves at import; `make_env` constructs the env object
+(static build) whose `init`/`step` are the pure jittable functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, NamedTuple
+
+from hcr_genesis_lr_cl_tpu.core.config import LeggedRobotCfg, TrainCfg
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class TaskEntry(NamedTuple):
+    env_cls: type
+    cfg_fn: Callable[..., LeggedRobotCfg]
+    train_cfg_fn: Callable[[], TrainCfg]
+
+
+_TASKS: Dict[str, TaskEntry] = {}
+
+
+def register(name: str, env_cls, cfg_fn, train_cfg_fn):
+    _TASKS[name] = TaskEntry(env_cls, cfg_fn, train_cfg_fn)
+
+
+def task_names():
+    return sorted(_TASKS)
+
+
+def get_cfgs(name: str, num_envs: int | None = None):
+    entry = _TASKS[name]
+    cfg = entry.cfg_fn() if num_envs is None else entry.cfg_fn(num_envs=num_envs)
+    return cfg, entry.train_cfg_fn()
+
+
+def make_env(name: str, cfg: LeggedRobotCfg | None = None, num_envs: int | None = None,
+             terrain_seed: int = 0):
+    entry = _TASKS[name]
+    if cfg is None:
+        cfg = entry.cfg_fn() if num_envs is None else entry.cfg_fn(num_envs=num_envs)
+    robot = cfg.asset.file
+    if not os.path.isabs(robot):
+        robot = os.path.join(REPO_ROOT, robot)
+    return entry.env_cls(cfg, robot, terrain_seed=terrain_seed)
+
+
+def _register_builtin():
+    from hcr_genesis_lr_cl_tpu.envs.tasks import go2
+
+    register("go2", go2.Go2Env, go2.go2_flat_cfg, go2.go2_flat_train_cfg)
+
+
+_register_builtin()

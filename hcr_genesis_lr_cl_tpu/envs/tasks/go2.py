@@ -1,0 +1,152 @@
+"""Go2 flat-terrain velocity task (reference: legged_gym/envs/go2/go2.py +
+go2_config.py, common_cfgs.py Go2FlatCommonCfg).
+
+45-dim deployment-aligned observation: [commands(3), gravity(3), ang_vel(3),
+dof_pos(12), dof_vel(12), actions(12)] (go2.py:39-91).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import (
+    AlgorithmCfg, AssetCfg, CommandRangesCfg, CommandsCfg, ControlCfg, EnvCfg,
+    InitStateCfg, LeggedRobotCfg, PolicyCfg, RewardScalesCfg, RewardsCfg,
+    RunnerCfg, TerrainCfg, TrainCfg,
+)
+from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState, LeggedEnv
+
+GO2_DOF_NAMES = (
+    "FR_hip_joint", "FR_thigh_joint", "FR_calf_joint",
+    "FL_hip_joint", "FL_thigh_joint", "FL_calf_joint",
+    "RR_hip_joint", "RR_thigh_joint", "RR_calf_joint",
+    "RL_hip_joint", "RL_thigh_joint", "RL_calf_joint",
+)
+
+GO2_DEFAULT_JOINT_ANGLES = tuple(
+    (n, {"hip": 0.0, "thigh": 0.8, "calf": -1.5}[n.split("_")[1]])
+    for n in GO2_DOF_NAMES
+)
+
+
+def go2_flat_asset() -> AssetCfg:
+    return AssetCfg(
+        name="go2",
+        file="resources/robots/go2.json",
+        foot_name="foot",
+        penalize_contacts_on=("thigh", "calf"),
+        terminate_after_contacts_on=("base", "Head"),
+        base_link_name="base",
+        dof_names=GO2_DOF_NAMES,
+        links_to_keep=("FL_foot", "FR_foot", "RL_foot", "RR_foot"),
+        dof_vel_limits=(30.1, 30.1, 15.7) * 4,
+    )
+
+
+def go2_init_state(**kw) -> InitStateCfg:
+    return InitStateCfg(
+        pos=(0.0, 0.0, 0.42),
+        default_joint_angles=GO2_DEFAULT_JOINT_ANGLES,
+        dof_pos_reset_scales=(0.2, 0.4, 0.4) * 4,  # hips/thighs/calves (go2.py:17-37)
+        reset_base_lin_vel_scale=0.0,
+        reset_base_ang_vel_scale=0.0,
+        **kw,
+    )
+
+
+def go2_control() -> ControlCfg:
+    return ControlCfg(
+        stiffness=(("joint", 20.0),), damping=(("joint", 0.5),),
+        action_scale=0.25, dt=0.02, decimation=4,
+    )
+
+
+def go2_flat_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    """GO2Cfg equivalent (go2_config.py)."""
+    return LeggedRobotCfg(
+        env=EnvCfg(num_envs=num_envs, num_observations=45, num_privileged_obs=None,
+                   num_actions=12),
+        terrain=TerrainCfg(mesh_type="plane"),
+        init_state=go2_init_state(),
+        control=go2_control(),
+        asset=go2_flat_asset(),
+        rewards=RewardsCfg(
+            scales=RewardScalesCfg(
+                dof_pos_limits=-1.0, collision=-1.0,
+                tracking_lin_vel=1.0, tracking_ang_vel=0.5,
+                lin_vel_z=-0.5, base_height=-2.0, ang_vel_xy=-0.05,
+                orientation=-1.0, dof_vel=-5.0e-4, dof_acc=-2.0e-7,
+                action_rate=-0.01, action_smoothness=-0.01, torques=-2.0e-4,
+                feet_air_time=1.0, foot_clearance=0.5,
+            ),
+            soft_dof_pos_limit=0.9,
+            base_height_target=0.36,
+            foot_clearance_target=0.05,
+            foot_height_offset=0.022,
+            foot_clearance_tracking_sigma=0.01,
+            only_positive_rewards=True,
+        ),
+        commands=CommandsCfg(
+            curriculum=True, max_curriculum=1.0, resampling_time=10.0,
+            heading_command=True,
+            ranges=CommandRangesCfg(
+                lin_vel_x=(-0.5, 0.5), lin_vel_y=(-1.0, 1.0),
+                ang_vel_yaw=(-1.0, 1.0), heading=(-3.14, 3.14),
+            ),
+        ),
+    )
+
+
+def go2_flat_train_cfg() -> TrainCfg:
+    return TrainCfg(
+        seed=1,
+        policy=PolicyCfg(),
+        algorithm=AlgorithmCfg(),
+        runner=RunnerCfg(experiment_name="go2", run_name="simple_rl",
+                         save_interval=200, max_iterations=1500),
+    )
+
+
+class Go2Env(LeggedEnv):
+    """Flat Go2 with the 45-dim deployment observation layout."""
+
+    def _make_noise_vec(self) -> np.ndarray:
+        c = self.cfg
+        ns, s = c.noise.noise_scales, c.normalization.obs_scales
+        lvl = c.noise.noise_level
+        na = self.num_actions
+        vec = np.zeros(c.env.num_observations, dtype=np.float32)
+        vec[0:3] = 0.0  # commands
+        vec[3:6] = ns.gravity * lvl
+        vec[6:9] = ns.ang_vel * lvl * s.ang_vel
+        vec[9 : 9 + na] = ns.dof_pos * lvl * s.dof_pos
+        vec[9 + na : 9 + 2 * na] = ns.dof_vel * lvl * s.dof_vel
+        # previous actions: no noise
+        if c.terrain.measure_heights:
+            vec[9 + 3 * na :] = ns.height_measurements * lvl * s.height_measurements
+        return vec
+
+    def compute_observations(self, state: EnvState, key):
+        c = self.cfg
+        s = c.normalization.obs_scales
+        out = state.sim_out
+        cmd_scale = jnp.array([s.lin_vel, s.lin_vel, s.ang_vel])
+        parts = [
+            state.commands[:, :3] * cmd_scale,
+            out.projected_gravity,
+            out.base_ang_vel * s.ang_vel,
+            (self.dof_pos_user(state) - self.default_dof_pos) * s.dof_pos,
+            self.dof_vel_user(state) * s.dof_vel,
+            state.actions,
+        ]
+        if c.terrain.measure_heights:
+            parts.append(self.height_obs(state))
+        obs = jnp.concatenate(parts, axis=-1)
+        if c.noise.add_noise:
+            obs = obs + (
+                jax.random.uniform(key, obs.shape, minval=-1.0, maxval=1.0)
+                * jnp.asarray(self.noise_vec)
+            )
+        return obs, self.compute_privileged_observations(state)

@@ -1,0 +1,82 @@
+"""Compliant point-contact vs heightfield + joint-limit forces.
+
+TPU-friendly by construction: fixed work per step (every geom tested every
+substep, masked where separated), no data-dependent control flow, fully
+differentiable — which is also what makes the same engine usable inside the
+iLQR/SQP trajectory optimizer (mpc/).
+
+Replaces the reference's delegated Newton/TGS contact solvers
+(genesis_simulator.py:245-255, legged_robot_config.py:259-272) with a
+penalty/regularized-friction model integrated at substep rate.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.physics.dynamics import Kinematics
+from hcr_genesis_lr_cl_tpu.physics.model import RobotModel
+from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField
+
+
+def contact_forces(
+    model: RobotModel,
+    terrain: TerrainField,
+    kin: Kinematics,
+    friction: jnp.ndarray,  # per-env scalar coefficient (already DR-scaled)
+    stiffness: float,
+    damping: float,
+    friction_vel: float,
+):
+    """Compute external spatial forces from ground contact (single env).
+
+    Returns:
+      f_ext: (nb, 6) spatial forces in body coordinates
+      slot_forces: (num_slots, 3) net world-frame contact force per original link
+      geom_penetration: (ng,) signed penetration depth (>0 in contact)
+    """
+    nb, ng = model.nb, model.ng
+    gb = jnp.asarray(model.geom_body)  # (ng,)
+    gs = jnp.asarray(model.geom_slot)
+
+    R = kin.R_w[gb]  # (ng, 3, 3)
+    pw = kin.p_w[gb] + jnp.einsum("gij,gj->gi", R, model.geom_offset)  # centers
+    vb = kin.v_b[gb]  # (ng, 6) body spatial velocity in body coords
+    # world velocity of the sphere center
+    v_local = vb[:, 3:] + jnp.cross(vb[:, :3], model.geom_offset)
+    vw = jnp.einsum("gij,gj->gi", R, v_local)
+
+    n = terrain.normal(pw[:, 0], pw[:, 1])  # (ng, 3)
+    h = terrain.height(pw[:, 0], pw[:, 1])
+    # vertical gap between sphere bottom and ground (valid for moderate slopes)
+    pen = (h - (pw[:, 2] - model.geom_radius)) * n[:, 2]
+    in_contact = pen > 0.0
+
+    v_n = jnp.sum(vw * n, axis=-1)
+    f_n_mag = jnp.maximum(stiffness * pen - damping * v_n, 0.0) * in_contact
+    v_t = vw - v_n[:, None] * n
+    vt_norm = jnp.linalg.norm(v_t, axis=-1)
+    # regularized Coulomb: full mu*Fn beyond friction_vel, linear (viscous) below
+    f_t_mag = friction * f_n_mag * jnp.minimum(vt_norm / friction_vel, 1.0)
+    f_t = -f_t_mag[:, None] * v_t / (vt_norm[:, None] + 1e-6)
+    f_w = f_n_mag[:, None] * n + f_t  # (ng, 3) world force on each sphere
+
+    # to body-frame spatial forces about body origins
+    f_b = jnp.einsum("gji,gj->gi", R, f_w)
+    n_b = jnp.cross(model.geom_offset, f_b)
+    wrench = jnp.concatenate([n_b, f_b], axis=-1)  # (ng, 6)
+    f_ext = jnp.zeros((nb, 6)).at[gb].add(wrench)
+
+    num_slots = model.num_slots
+    slot_forces = jnp.zeros((num_slots, 3)).at[gs].add(f_w)
+    return f_ext, slot_forces, pen
+
+
+def joint_limit_torque(model, q, qd, stiffness: float, damping: float):
+    """Spring-damper penalty outside the URDF joint limits."""
+    below = jnp.minimum(q - model.q_lo, 0.0)
+    above = jnp.maximum(q - model.q_hi, 0.0)
+    tau = -stiffness * (below + above)
+    active = (below < 0.0) | (above > 0.0)
+    tau = tau - damping * qd * active
+    return tau

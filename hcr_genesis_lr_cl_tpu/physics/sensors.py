@@ -1,0 +1,52 @@
+"""Terrain height sensors (base height grid + foot patches).
+
+Reproduces the reference's probe semantics on the TerrainField:
+- measured heights: yaw-aligned grid under the base, min-of-3-neighbors probe
+  (genesis_simulator.py:552-577);
+- 9-point height patch + finite-difference normal per foot
+  (genesis_simulator.py:579-610, including its downward [dx,dy,-1] normal
+  convention, kept for observation parity).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField
+from hcr_genesis_lr_cl_tpu.utils import math as hm
+
+
+def make_height_points(measured_points_x, measured_points_y) -> np.ndarray:
+    """(P, 3) base-frame xy probe offsets (z = 0)."""
+    gx, gy = np.meshgrid(np.asarray(measured_points_x), np.asarray(measured_points_y), indexing="ij")
+    return np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=-1).astype(np.float32)
+
+
+def measured_heights(terrain: TerrainField, base_pos, base_quat, height_points):
+    """(N, P) terrain heights at yaw-rotated probe points under the base."""
+    pts = hm.quat_apply_yaw(base_quat[:, None, :], jnp.asarray(height_points)[None])
+    pts = pts + base_pos[:, None, :]
+    return terrain.height_min3(pts[..., 0], pts[..., 1])
+
+
+def feet_terrain_info(terrain: TerrainField, feet_pos):
+    """9-point height patch + normal per foot.
+
+    feet_pos: (N, nf, 3) world. Returns (heights (N, nf, 9), normals (N, nf, 3)).
+    """
+    x, y = feet_pos[..., 0], feet_pos[..., 1]
+    hs = terrain.horizontal_scale
+    offsets = jnp.asarray(
+        [(-1, 0), (1, 0), (0, -1), (0, 1), (0, 0), (-1, -1), (1, 1), (-1, 1), (1, -1)],
+        dtype=jnp.float32,
+    )
+    hgrid = jnp.stack(
+        [terrain.height(x + ox * hs, y + oy * hs) for ox, oy in np.asarray(offsets)],
+        axis=-1,
+    )  # (N, nf, 9)
+    dx = (hgrid[..., 1] - hgrid[..., 0]) / (2 * hs)
+    dy = (hgrid[..., 3] - hgrid[..., 2]) / (2 * hs)
+    n = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return hgrid, n

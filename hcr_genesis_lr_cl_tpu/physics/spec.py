@@ -1,0 +1,57 @@
+"""Robot spec serialization: RobotModel <-> JSON.
+
+The framework ships self-contained articulation specs (JSON) generated from
+robot URDFs by `build_model` — kinematic/inertial/collision parameters in the
+engine's own collapsed-articulation format. `runtime/convert_urdf.py` is the
+generator tool; `model_from_spec` the loader used by the task registry.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.physics.model import RobotModel
+
+_STATIC = (
+    "nb", "nj", "parent", "joint_names", "joint_types", "body_names",
+    "user_dof_idx", "geom_body", "geom_slot", "slot_names", "slot_body",
+    "site_names", "site_body",
+)
+_ARRAYS = (
+    "joint_axis", "Et", "rt", "I_body", "body_mass", "q_lo", "q_hi",
+    "effort_limit", "vel_limit", "joint_damping", "joint_friction", "armature",
+    "geom_offset", "geom_radius", "site_offset", "site_rot",
+)
+
+
+def model_to_spec(model: RobotModel) -> dict:
+    spec = {"format": "hcr-tpu-articulation-v1"}
+    for k in _STATIC:
+        spec[k] = list(getattr(model, k)) if k not in ("nb", "nj") else getattr(model, k)
+    for k in _ARRAYS:
+        spec[k] = np.asarray(getattr(model, k)).tolist()
+    return spec
+
+
+def save_spec(model: RobotModel, path: str):
+    with open(path, "w") as f:
+        json.dump(model_to_spec(model), f)
+
+
+def model_from_spec(path_or_dict) -> RobotModel:
+    if isinstance(path_or_dict, dict):
+        spec = path_or_dict
+    else:
+        with open(path_or_dict) as f:
+            spec = json.load(f)
+    assert spec.get("format") == "hcr-tpu-articulation-v1", "unknown spec format"
+    kw = {}
+    for k in _STATIC:
+        v = spec[k]
+        kw[k] = tuple(v) if isinstance(v, list) else v
+    for k in _ARRAYS:
+        kw[k] = jnp.asarray(np.asarray(spec[k], dtype=np.float32))
+    return RobotModel(**kw)

@@ -1,0 +1,36 @@
+"""Tool: convert a robot URDF into the framework's articulation spec (JSON).
+
+Usage:
+    python -m hcr_genesis_lr_cl_tpu.runtime.convert_urdf <urdf> <out.json> \
+        [--dof-names a,b,c] [--keep-sites foot] [--armature 0.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from hcr_genesis_lr_cl_tpu.physics.model import build_model
+from hcr_genesis_lr_cl_tpu.physics.spec import save_spec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("urdf")
+    ap.add_argument("out")
+    ap.add_argument("--dof-names", default="")
+    ap.add_argument("--keep-sites", default="foot")
+    ap.add_argument("--armature", type=float, default=0.0)
+    args = ap.parse_args()
+    model = build_model(
+        args.urdf,
+        dof_names=tuple(x for x in args.dof_names.split(",") if x),
+        keep_sites=tuple(x for x in args.keep_sites.split(",") if x),
+        armature=args.armature,
+    )
+    save_spec(model, args.out)
+    print(f"wrote {args.out}: nb={model.nb} nj={model.nj} "
+          f"mass={float(model.body_mass.sum()):.3f} ng={model.ng}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField  # noqa: F401
+from hcr_genesis_lr_cl_tpu.terrain.generators import build_terrain  # noqa: F401

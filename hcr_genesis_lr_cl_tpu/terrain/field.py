@@ -1,0 +1,137 @@
+"""TerrainField: device-resident heightfield with jnp query ops.
+
+The single terrain representation consumed by contact, height sensors and the
+depth camera. Replaces three reference paths at once (heightfield samples in
+Genesis `genesis_simulator.py:552-610`, trimesh queries in IsaacGym/Lab, and
+Warp's BVH mesh ray-cast) with gathers on a replicated array — ideal for TPU:
+every query is a vectorized dynamic-gather + fused arithmetic.
+
+A flat plane is represented analytically (`is_plane=True`) so the common flat
+configs never pay for terrain memory.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
+from hcr_genesis_lr_cl_tpu.terrain.generators import BuiltTerrain, build_terrain
+
+
+@struct.dataclass
+class TerrainField:
+    is_plane: bool = struct.field(pytree_node=False)
+    num_rows: int = struct.field(pytree_node=False)
+    num_cols: int = struct.field(pytree_node=False)
+    heights: jnp.ndarray  # (H, W) meters
+    horizontal_scale: jnp.ndarray  # scalar
+    origin_xy: jnp.ndarray  # (2,)
+    env_origins: jnp.ndarray  # (num_rows, num_cols, 3)
+    env_length: jnp.ndarray  # scalar
+    env_width: jnp.ndarray  # scalar
+    static_friction: jnp.ndarray  # scalar
+    restitution: jnp.ndarray  # scalar
+
+    # ---- constructors ----
+    @staticmethod
+    def plane(cfg: TerrainCfg) -> "TerrainField":
+        return TerrainField(
+            is_plane=True,
+            num_rows=1,
+            num_cols=1,
+            heights=jnp.zeros((2, 2), dtype=jnp.float32),
+            horizontal_scale=jnp.float32(1.0),
+            origin_xy=jnp.zeros(2, dtype=jnp.float32),
+            env_origins=jnp.zeros((1, 1, 3), dtype=jnp.float32),
+            env_length=jnp.float32(0.0),
+            env_width=jnp.float32(0.0),
+            static_friction=jnp.float32(cfg.static_friction),
+            restitution=jnp.float32(cfg.restitution),
+        )
+
+    @staticmethod
+    def from_built(bt: BuiltTerrain, cfg: TerrainCfg) -> "TerrainField":
+        return TerrainField(
+            is_plane=False,
+            num_rows=bt.num_rows,
+            num_cols=bt.num_cols,
+            heights=jnp.asarray(bt.heights),
+            horizontal_scale=jnp.float32(bt.horizontal_scale),
+            origin_xy=jnp.asarray(bt.origin_xy, dtype=jnp.float32),
+            env_origins=jnp.asarray(bt.env_origins, dtype=jnp.float32),
+            env_length=jnp.float32(bt.env_length),
+            env_width=jnp.float32(bt.env_width),
+            static_friction=jnp.float32(cfg.static_friction),
+            restitution=jnp.float32(cfg.restitution),
+        )
+
+    @staticmethod
+    def build(cfg: TerrainCfg, seed: int = 0) -> "TerrainField":
+        if cfg.mesh_type == "plane":
+            return TerrainField.plane(cfg)
+        return TerrainField.from_built(build_terrain(cfg, seed), cfg)
+
+    # ---- queries (broadcast over any leading dims) ----
+    def _grid(self, x, y):
+        gx = (x - self.origin_xy[0]) / self.horizontal_scale
+        gy = (y - self.origin_xy[1]) / self.horizontal_scale
+        H, W = self.heights.shape
+        gx = jnp.clip(gx, 0.0, H - 1.001)
+        gy = jnp.clip(gy, 0.0, W - 1.001)
+        return gx, gy
+
+    def height(self, x, y):
+        """Bilinear height at world (x, y)."""
+        if self.is_plane:
+            return jnp.zeros_like(x)
+        gx, gy = self._grid(x, y)
+        x0 = jnp.floor(gx).astype(jnp.int32)
+        y0 = jnp.floor(gy).astype(jnp.int32)
+        fx, fy = gx - x0, gy - y0
+        h00 = self.heights[x0, y0]
+        h10 = self.heights[x0 + 1, y0]
+        h01 = self.heights[x0, y0 + 1]
+        h11 = self.heights[x0 + 1, y0 + 1]
+        return (
+            h00 * (1 - fx) * (1 - fy)
+            + h10 * fx * (1 - fy)
+            + h01 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+
+    def height_min3(self, x, y):
+        """Min of the 3 nearest grid samples — the conservative probe the
+        reference uses for measured heights (genesis_simulator.py:571-577)."""
+        if self.is_plane:
+            return jnp.zeros_like(x)
+        gx, gy = self._grid(x, y)
+        x0 = jnp.floor(gx).astype(jnp.int32)
+        y0 = jnp.floor(gy).astype(jnp.int32)
+        h1 = self.heights[x0, y0]
+        h2 = self.heights[x0 + 1, y0]
+        h3 = self.heights[x0, y0 + 1]
+        return jnp.minimum(jnp.minimum(h1, h2), h3)
+
+    def normal(self, x, y):
+        """Terrain unit normal from central differences."""
+        if self.is_plane:
+            z = jnp.zeros_like(x)
+            return jnp.stack([z, z, jnp.ones_like(x)], axis=-1)
+        hs = self.horizontal_scale
+        dhdx = (self.height(x + hs, y) - self.height(x - hs, y)) / (2 * hs)
+        dhdy = (self.height(x, y + hs) - self.height(x, y - hs)) / (2 * hs)
+        n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+    def out_of_bounds(self, x, y, margin: float = 1.0):
+        """True where (x, y) is within `margin` of the terrain border
+        (reference `_check_base_pos_out_of_bound`)."""
+        if self.is_plane:
+            return jnp.zeros_like(x, dtype=bool)
+        H, W = self.heights.shape
+        lo = self.origin_xy + margin
+        hi_x = self.origin_xy[0] + (H - 1) * self.horizontal_scale - margin
+        hi_y = self.origin_xy[1] + (W - 1) * self.horizontal_scale - margin
+        return (x < lo[0]) | (x > hi_x) | (y < lo[1]) | (y > hi_y)

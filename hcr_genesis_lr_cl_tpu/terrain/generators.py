@@ -1,0 +1,272 @@
+"""Procedural heightfield terrain generators (host-side NumPy, built once).
+
+Re-implements the capability surface of the reference's terrain stack
+(`legged_gym/utils/terrain_utils.py` heightfield functions and
+`legged_gym/utils/terrain.py`'s curriculum grid): 8 sub-terrain types laid out
+on a (num_rows=difficulty levels) x (num_cols=types) grid inside a border,
+with per-cell env origins. The difficulty -> parameter mapping follows
+`terrain.py:119-181`.
+
+The TPU engine consumes only the resulting heightfield (no trimesh path is
+needed: contact, sensors and the depth camera all query the heightfield
+directly, which replaces the reference's trimesh backends).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
+
+
+@dataclasses.dataclass
+class BuiltTerrain:
+    heights: np.ndarray  # (H, W) float32 meters
+    horizontal_scale: float
+    vertical_scale: float
+    origin_xy: np.ndarray  # world xy of heights[0, 0]
+    env_origins: np.ndarray  # (num_rows, num_cols, 3)
+    num_rows: int
+    num_cols: int
+    env_length: float
+    env_width: float
+
+
+# --- sub-terrain primitives: operate on an (L, W) height patch in meters ---
+
+
+def random_uniform(patch, rng, min_h, max_h, step, hs, downsampled_scale=0.2):
+    """Rough noise at a coarse grid, linearly upsampled (terrain_utils.py:34)."""
+    L, W = patch.shape
+    n = max(2, int(L * hs / downsampled_scale))
+    m = max(2, int(W * hs / downsampled_scale))
+    levels = np.arange(min_h, max_h + step, step)
+    coarse = rng.choice(levels, size=(n, m))
+    xi = np.linspace(0, n - 1, L)
+    yi = np.linspace(0, m - 1, W)
+    x0 = np.clip(xi.astype(int), 0, n - 2)
+    y0 = np.clip(yi.astype(int), 0, m - 2)
+    fx = (xi - x0)[:, None]
+    fy = (yi - y0)[None, :]
+    c00 = coarse[x0][:, y0]
+    c10 = coarse[x0 + 1][:, y0]
+    c01 = coarse[x0][:, y0 + 1]
+    c11 = coarse[x0 + 1][:, y0 + 1]
+    patch += (
+        c00 * (1 - fx) * (1 - fy) + c10 * fx * (1 - fy) + c01 * (1 - fx) * fy + c11 * fx * fy
+    )
+    return patch
+
+
+def pyramid_sloped(patch, slope, platform_size, hs):
+    """Pyramid whose faces have the given slope; flat platform at center."""
+    L, W = patch.shape
+    cx, cy = (L - 1) / 2, (W - 1) / 2
+    x = np.abs(np.arange(L) - cx)[:, None] * hs
+    y = np.abs(np.arange(W) - cy)[None, :] * hs
+    d = np.maximum(x, y)
+    plat = platform_size / 2
+    h = -slope * np.maximum(d - plat, 0.0)
+    peak = -h.min() if slope < 0 else 0.0
+    patch += h + (0.0 if slope >= 0 else 0.0)
+    # shift so the platform sits at z==0 relative to cell
+    return patch
+
+
+def pyramid_stairs(patch, step_width, step_height, platform_size, hs):
+    """Concentric square steps descending (or ascending) from the center."""
+    L, W = patch.shape
+    cx, cy = (L - 1) / 2, (W - 1) / 2
+    x = np.abs(np.arange(L) - cx)[:, None] * hs
+    y = np.abs(np.arange(W) - cy)[None, :] * hs
+    d = np.maximum(x, y)
+    plat = platform_size / 2
+    k = np.maximum(0, np.ceil((d - plat) / step_width))
+    patch += -step_height * k
+    return patch
+
+
+def discrete_obstacles(patch, rng, max_height, min_size, max_size, num_rects, platform_size, hs):
+    L, W = patch.shape
+    for _ in range(num_rects):
+        w = int(rng.uniform(min_size, max_size) / hs)
+        l = int(rng.uniform(min_size, max_size) / hs)
+        if L - l <= 1 or W - w <= 1:
+            continue
+        x = rng.integers(0, L - l)
+        y = rng.integers(0, W - w)
+        h = rng.choice([-max_height, -max_height / 2, max_height / 2, max_height])
+        patch[x : x + l, y : y + w] = h
+    # flat platform at center
+    plat = int(platform_size / hs / 2)
+    cx, cy = L // 2, W // 2
+    patch[cx - plat : cx + plat, cy - plat : cy + plat] = 0.0
+    return patch
+
+
+def wave_terrain(patch, num_waves, amplitude, hs):
+    L, W = patch.shape
+    x = np.arange(L)[:, None]
+    y = np.arange(W)[None, :]
+    patch += amplitude * (
+        np.cos(y * num_waves * 2 * np.pi / W) + np.sin(x * num_waves * 2 * np.pi / L)
+    )
+    return patch
+
+
+def stepping_stones(patch, rng, stone_size, stone_distance, max_height, platform_size, hs, depth=-2.0):
+    L, W = patch.shape
+    patch[:] = depth
+    ss = max(1, int(stone_size / hs))
+    sd = int(stone_distance / hs)
+    y = 0
+    while y < W:
+        x = int(rng.integers(0, ss)) - ss
+        while x < L:
+            x0, x1 = max(0, x), min(L, x + ss)
+            y1 = min(W, y + ss)
+            patch[x0:x1, y:y1] = rng.uniform(-max_height, max_height)
+            x += ss + sd
+        y += ss + sd
+    plat = int(platform_size / hs / 2)
+    cx, cy = L // 2, W // 2
+    patch[cx - plat : cx + plat, cy - plat : cy + plat] = 0.0
+    return patch
+
+
+def gap_terrain(patch, gap_size, platform_size, hs, depth=-1.0):
+    L, W = patch.shape
+    g = int(gap_size / hs)
+    p = int(platform_size / hs / 2)
+    cx, cy = L // 2, W // 2
+    patch[cx - p - g : cx + p + g, cy - p - g : cy + p + g] = depth
+    patch[cx - p : cx + p, cy - p : cy + p] = 0.0
+    return patch
+
+
+def pit_terrain(patch, depth, platform_size, hs):
+    p = int(platform_size / hs / 2)
+    cx, cy = patch.shape[0] // 2, patch.shape[1] // 2
+    patch[:] = 0.0
+    patch[cx - p : cx + p, cy - p : cy + p] = -depth
+    return patch
+
+
+def make_subterrain(patch, choice, difficulty, proportions, cfg: TerrainCfg, rng):
+    """Difficulty->parameters mapping (reference terrain.py:119-181 semantics)."""
+    hs = cfg.horizontal_scale
+    slope = difficulty * 0.4
+    step_height = 0.05 + 0.18 * difficulty
+    discrete_height = 0.05 + difficulty * 0.2
+    stone_size = 1.5 * (1.05 - difficulty)
+    stone_distance = 0.05 if difficulty == 0 else 0.1
+    gap_size = 1.0 * difficulty
+    pit_depth = 1.0 * difficulty
+    props = np.cumsum(np.asarray(proportions) / max(np.sum(proportions), 1e-9))
+
+    if choice < props[0]:
+        sl = slope if rng.uniform() > 0.5 else -slope
+        pyramid_sloped(patch, sl, cfg.platform_size, hs)
+    elif choice < props[1]:
+        sl = slope if rng.uniform() > 0.5 else -slope
+        pyramid_sloped(patch, sl, cfg.platform_size, hs)
+        random_uniform(patch, rng, -0.05, 0.05, 0.005, hs)
+    elif len(props) > 2 and choice < props[2]:
+        pyramid_stairs(patch, 0.31, -step_height, cfg.platform_size, hs)  # up
+    elif len(props) > 3 and choice < props[3]:
+        pyramid_stairs(patch, 0.31, step_height, cfg.platform_size, hs)  # down
+    elif len(props) > 4 and choice < props[4]:
+        discrete_obstacles(patch, rng, discrete_height, 1.0, 2.0, 20, cfg.platform_size, hs)
+    elif len(props) > 5 and choice < props[5]:
+        stepping_stones(patch, rng, stone_size, stone_distance, 0.05, cfg.platform_size, hs)
+    elif len(props) > 6 and choice < props[6]:
+        gap_terrain(patch, gap_size, cfg.platform_size, hs)
+    elif len(props) > 7:
+        pit_terrain(patch, pit_depth, cfg.platform_size, hs)
+    else:
+        pyramid_sloped(patch, slope, cfg.platform_size, hs)
+    return patch
+
+
+def build_terrain(cfg: TerrainCfg, seed: int = 0) -> BuiltTerrain:
+    """Build the full (rows x cols) heightfield grid with border + env origins."""
+    rng = np.random.default_rng(seed)
+    hs = cfg.horizontal_scale
+    lpx = int(cfg.terrain_length / hs)
+    wpx = int(cfg.terrain_width / hs)
+    bpx = int(cfg.border_size / hs)
+    H = cfg.num_rows * lpx + 2 * bpx
+    W = cfg.num_cols * wpx + 2 * bpx
+    heights = np.zeros((H, W), dtype=np.float64)
+    env_origins = np.zeros((cfg.num_rows, cfg.num_cols, 3))
+
+    for i in range(cfg.num_rows):
+        for j in range(cfg.num_cols):
+            patch = np.zeros((lpx, wpx))
+            if cfg.selected:
+                kw = dict(cfg.terrain_kwargs)
+                fn = {
+                    "pyramid_sloped": lambda: pyramid_sloped(
+                        patch, kw.get("slope", 0.3), cfg.platform_size, hs),
+                    "pyramid_stairs": lambda: pyramid_stairs(
+                        patch, kw.get("step_width", 0.31), kw.get("step_height", 0.1),
+                        cfg.platform_size, hs),
+                    "random_uniform": lambda: random_uniform(
+                        patch, rng, kw.get("min_height", -0.05),
+                        kw.get("max_height", 0.05), kw.get("step", 0.005), hs),
+                    "wave": lambda: wave_terrain(
+                        patch, kw.get("num_waves", 2), kw.get("amplitude", 0.2), hs),
+                    "discrete_obstacles": lambda: discrete_obstacles(
+                        patch, rng, kw.get("max_height", 0.15), 1.0, 2.0, 20,
+                        cfg.platform_size, hs),
+                    "stepping_stones": lambda: stepping_stones(
+                        patch, rng, kw.get("stone_size", 1.0),
+                        kw.get("stone_distance", 0.1), 0.05, cfg.platform_size, hs),
+                    "gap": lambda: gap_terrain(patch, kw.get("gap_size", 0.5),
+                                               cfg.platform_size, hs),
+                    "pit": lambda: pit_terrain(patch, kw.get("depth", 0.5),
+                                               cfg.platform_size, hs),
+                }[cfg.selected_type]
+                fn()
+            elif cfg.curriculum:
+                difficulty = i / max(cfg.num_rows - 1, 1)
+                choice = j / cfg.num_cols + 0.001
+                make_subterrain(patch, choice, difficulty, cfg.terrain_proportions, cfg, rng)
+            else:
+                choice = rng.uniform(0, 1)
+                difficulty = rng.choice([0.5, 0.75, 0.9])
+                make_subterrain(patch, choice, difficulty, cfg.terrain_proportions, cfg, rng)
+
+            # vertical quantization (reference stores int16 * vertical_scale)
+            patch = np.round(patch / cfg.vertical_scale) * cfg.vertical_scale
+            x0, y0 = bpx + i * lpx, bpx + j * wpx
+            heights[x0 : x0 + lpx, y0 : y0 + wpx] = patch
+            # env origin at the cell center, z = max height of the central 1m patch
+            cx, cy = x0 + lpx // 2, y0 + wpx // 2
+            r = max(1, int(0.5 / hs))
+            env_origins[i, j] = [
+                (i + 0.5) * cfg.terrain_length,
+                (j + 0.5) * cfg.terrain_width,
+                heights[cx - r : cx + r, cy - r : cy + r].max(),
+            ]
+
+    # border wall ring (reference border_height)
+    if bpx > 0 and cfg.border_height > 0:
+        heights[: bpx // 2, :] = cfg.border_height
+        heights[-bpx // 2 :, :] = cfg.border_height
+        heights[:, : bpx // 2] = cfg.border_height
+        heights[:, -bpx // 2 :] = cfg.border_height
+
+    return BuiltTerrain(
+        heights=heights.astype(np.float32),
+        horizontal_scale=hs,
+        vertical_scale=cfg.vertical_scale,
+        origin_xy=np.array([-cfg.border_size, -cfg.border_size]),
+        env_origins=env_origins,
+        num_rows=cfg.num_rows,
+        num_cols=cfg.num_cols,
+        env_length=cfg.terrain_length,
+        env_width=cfg.terrain_width,
+    )
