@@ -29,13 +29,21 @@ def _tup(*x):
     return field(default_factory=lambda: tuple(x))
 
 
+class _Cfg:
+    """Base for all config dataclasses: ergonomic immutable update."""
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+
 # ---------------------------------------------------------------------------
 # Env / terrain / robot sections (reference: legged_robot_config.py:4-272)
 # ---------------------------------------------------------------------------
 
 
 @dataclass(frozen=True)
-class EnvCfg:
+class EnvCfg(_Cfg):
     num_envs: int = 4096
     num_observations: int = 48
     num_privileged_obs: Optional[int] = None
@@ -55,7 +63,7 @@ class EnvCfg:
 
 
 @dataclass(frozen=True)
-class TerrainCfg:
+class TerrainCfg(_Cfg):
     mesh_type: str = "plane"  # plane | heightfield
     plane_length: float = 200.0
     horizontal_scale: float = 0.1  # [m] grid pitch
@@ -90,7 +98,7 @@ class TerrainCfg:
 
 
 @dataclass(frozen=True)
-class InitStateCfg:
+class InitStateCfg(_Cfg):
     pos: Tuple[float, float, float] = (0.0, 0.0, 1.0)
     rot: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)  # xyzw (gym convention)
     lin_vel: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -115,7 +123,7 @@ class InitStateCfg:
 
 
 @dataclass(frozen=True)
-class ControlCfg:
+class ControlCfg(_Cfg):
     control_type: str = "P"  # P | V | T
     stiffness: Tuple[Tuple[str, float], ...] = ()  # substring-matched per joint
     damping: Tuple[Tuple[str, float], ...] = ()
@@ -125,7 +133,7 @@ class ControlCfg:
 
 
 @dataclass(frozen=True)
-class AssetCfg:
+class AssetCfg(_Cfg):
     name: str = ""
     file: str = ""
     foot_name: str = "foot"
@@ -146,7 +154,7 @@ class AssetCfg:
 
 
 @dataclass(frozen=True)
-class RewardScalesCfg:
+class RewardScalesCfg(_Cfg):
     """Union of the reward terms across all reference tasks; 0 disables a term.
 
     (reference: legged_robot.py:458-608, go2_wtw.py, tron1_*, legged_robot_nav.py)
@@ -201,7 +209,7 @@ class RewardScalesCfg:
 
 
 @dataclass(frozen=True)
-class RewardsCfg:
+class RewardsCfg(_Cfg):
     scales: RewardScalesCfg = field(default_factory=RewardScalesCfg)
     only_positive_rewards: bool = True
     tracking_sigma: float = 0.25
@@ -219,7 +227,7 @@ class RewardsCfg:
 
 
 @dataclass(frozen=True)
-class CommandRangesCfg:
+class CommandRangesCfg(_Cfg):
     lin_vel_x: Tuple[float, float] = (-1.0, 1.0)
     lin_vel_y: Tuple[float, float] = (-1.0, 1.0)
     ang_vel_yaw: Tuple[float, float] = (-1.0, 1.0)
@@ -227,7 +235,7 @@ class CommandRangesCfg:
 
 
 @dataclass(frozen=True)
-class CommandsCfg:
+class CommandsCfg(_Cfg):
     curriculum: bool = False
     max_curriculum: float = 1.0
     num_commands: int = 4
@@ -239,7 +247,7 @@ class CommandsCfg:
 
 
 @dataclass(frozen=True)
-class DomainRandCfg:
+class DomainRandCfg(_Cfg):
     randomize_friction: bool = True
     friction_range: Tuple[float, float] = (0.5, 1.25)
     randomize_base_mass: bool = True
@@ -265,7 +273,7 @@ class DomainRandCfg:
 
 
 @dataclass(frozen=True)
-class ObsScalesCfg:
+class ObsScalesCfg(_Cfg):
     lin_vel: float = 1.0
     ang_vel: float = 0.25
     dof_pos: float = 1.0
@@ -274,14 +282,14 @@ class ObsScalesCfg:
 
 
 @dataclass(frozen=True)
-class NormalizationCfg:
+class NormalizationCfg(_Cfg):
     obs_scales: ObsScalesCfg = field(default_factory=ObsScalesCfg)
     clip_observations: float = 100.0
     clip_actions: float = 100.0
 
 
 @dataclass(frozen=True)
-class NoiseScalesCfg:
+class NoiseScalesCfg(_Cfg):
     dof_pos: float = 0.01
     dof_vel: float = 0.5
     lin_vel: float = 0.1
@@ -291,14 +299,14 @@ class NoiseScalesCfg:
 
 
 @dataclass(frozen=True)
-class NoiseCfg:
+class NoiseCfg(_Cfg):
     add_noise: bool = True
     noise_level: float = 1.0
     noise_scales: NoiseScalesCfg = field(default_factory=NoiseScalesCfg)
 
 
 @dataclass(frozen=True)
-class ConstraintLimitCfg:
+class ConstraintLimitCfg(_Cfg):
     """One CaT constraint (reference: go2_cat.py:135-215, constraint_manager.py)."""
 
     name: str
@@ -309,13 +317,13 @@ class ConstraintLimitCfg:
 
 
 @dataclass(frozen=True)
-class ConstraintsCfg:
+class ConstraintsCfg(_Cfg):
     limits: Tuple[ConstraintLimitCfg, ...] = ()
     min_p: float = 0.0
 
 
 @dataclass(frozen=True)
-class DepthCameraCfg:
+class DepthCameraCfg(_Cfg):
     num_sensors: int = 1
     num_history: int = 1
     near_clip: float = 0.1
@@ -328,13 +336,13 @@ class DepthCameraCfg:
 
 
 @dataclass(frozen=True)
-class SensorCfg:
+class SensorCfg(_Cfg):
     add_depth: bool = False
     depth_camera: DepthCameraCfg = field(default_factory=DepthCameraCfg)
 
 
 @dataclass(frozen=True)
-class SimCfg:
+class SimCfg(_Cfg):
     dt: float = 0.005  # 200 Hz
     substeps: int = 4  # explicit-integrator substeps per sim dt (TPU engine knob)
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
@@ -347,7 +355,7 @@ class SimCfg:
 
 
 @dataclass(frozen=True)
-class LeggedRobotCfg:
+class LeggedRobotCfg(_Cfg):
     env: EnvCfg = field(default_factory=EnvCfg)
     terrain: TerrainCfg = field(default_factory=TerrainCfg)
     init_state: InitStateCfg = field(default_factory=InitStateCfg)
@@ -379,8 +387,6 @@ class LeggedRobotCfg:
 
         return max(1, int(math.ceil(self.domain_rand.push_interval_s / self.dt)))
 
-    def replace(self, **kw) -> "LeggedRobotCfg":
-        return dataclasses.replace(self, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +395,7 @@ class LeggedRobotCfg:
 
 
 @dataclass(frozen=True)
-class PolicyCfg:
+class PolicyCfg(_Cfg):
     init_noise_std: float = 1.0
     actor_hidden_dims: Tuple[int, ...] = (512, 256, 128)
     critic_hidden_dims: Tuple[int, ...] = (512, 256, 128)
@@ -411,7 +417,7 @@ class PolicyCfg:
 
 
 @dataclass(frozen=True)
-class AlgorithmCfg:
+class AlgorithmCfg(_Cfg):
     value_loss_coef: float = 1.0
     use_clipped_value_loss: bool = True
     clip_param: float = 0.2
@@ -434,7 +440,7 @@ class AlgorithmCfg:
 
 
 @dataclass(frozen=True)
-class RunnerCfg:
+class RunnerCfg(_Cfg):
     policy_class_name: str = "ActorCritic"
     algorithm_class_name: str = "PPO"
     runner_class_name: str = "OnPolicyRunner"
@@ -450,11 +456,9 @@ class RunnerCfg:
 
 
 @dataclass(frozen=True)
-class TrainCfg:
+class TrainCfg(_Cfg):
     seed: int = 1
     policy: PolicyCfg = field(default_factory=PolicyCfg)
     algorithm: AlgorithmCfg = field(default_factory=AlgorithmCfg)
     runner: RunnerCfg = field(default_factory=RunnerCfg)
 
-    def replace(self, **kw) -> "TrainCfg":
-        return dataclasses.replace(self, **kw)

@@ -1,0 +1,1 @@
+from hcr_genesis_lr_cl_tpu.models.networks import ActorCritic  # noqa: F401

@@ -1,0 +1,96 @@
+"""Policy/value networks in flax.linen.
+
+Covers the reference's `rsl_rl/modules/` capability surface. This file holds
+the vanilla Gaussian MLP actor-critic (actor_critic.py:38-138); variant
+networks (TS privilege/history encoders, EE estimator, CTS shared actor,
+DreamWaQ VAE, recurrent memory) live beside it and compose these blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_ACTIVATIONS = {
+    "elu": nn.elu,
+    "relu": nn.relu,
+    "selu": nn.selu,
+    "lrelu": lambda x: nn.leaky_relu(x, 0.01),
+    "tanh": jnp.tanh,
+    "sigmoid": nn.sigmoid,
+    "crelu": lambda x: jnp.concatenate([nn.relu(x), nn.relu(-x)], axis=-1),
+}
+
+
+class MLP(nn.Module):
+    hidden_dims: Sequence[int]
+    out_dim: int
+    activation: str = "elu"
+    final_activation: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        act = _ACTIVATIONS[self.activation]
+        for h in self.hidden_dims:
+            x = act(nn.Dense(h)(x))
+        x = nn.Dense(self.out_dim)(x)
+        if self.final_activation is not None:
+            x = _ACTIVATIONS[self.final_activation](x)
+        return x
+
+
+class ActorCritic(nn.Module):
+    """Gaussian MLP policy + value function with state-independent learned std."""
+
+    num_actions: int
+    actor_hidden_dims: Sequence[int] = (512, 256, 128)
+    critic_hidden_dims: Sequence[int] = (512, 256, 128)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.log_std = self.param(
+            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
+        )
+
+    def __call__(self, obs, critic_obs):
+        return self.actor(obs), self.critic(critic_obs)[..., 0], self.log_std
+
+    def act_mean(self, obs):
+        return self.actor(obs)
+
+    def value(self, critic_obs):
+        return self.critic(critic_obs)[..., 0]
+
+
+def gaussian_log_prob(mean, log_std, action):
+    var = jnp.exp(2 * log_std)
+    return jnp.sum(
+        -0.5 * jnp.square(action - mean) / var - log_std - 0.5 * jnp.log(2 * jnp.pi),
+        axis=-1,
+    )
+
+
+def gaussian_entropy(log_std):
+    return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
+
+
+def gaussian_kl(mean_old, log_std_old, mean_new, log_std_new):
+    """KL(old || new), summed over action dims (the reference's adaptive-KL
+    statistic, rsl_rl/algorithms/ppo.py:196-198)."""
+    var_old, var_new = jnp.exp(2 * log_std_old), jnp.exp(2 * log_std_new)
+    return jnp.sum(
+        log_std_new - log_std_old
+        + (var_old + jnp.square(mean_old - mean_new)) / (2.0 * var_new)
+        - 0.5,
+        axis=-1,
+    )
+
+
+def sample_action(key, mean, log_std):
+    return mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)

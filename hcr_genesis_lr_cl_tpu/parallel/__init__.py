@@ -1,0 +1,3 @@
+from hcr_genesis_lr_cl_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, replicate, shard_batch_tree,
+)

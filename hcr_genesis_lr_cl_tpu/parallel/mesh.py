@@ -1,0 +1,46 @@
+"""Device mesh construction + sharding helpers (new vs the reference).
+
+The reference is single-process single-GPU (SURVEY.md §2.1): its only
+parallelism is the in-device env batch. Here the env batch is sharded across
+a `Mesh` axis ("env") via NamedSharding; parameters and small carry scalars
+are replicated. Because every env-layer op is elementwise over the batch and
+every cross-env reduction is a jnp mean/sum, jit lowers the training step to
+per-device compute + psums over ICI — no explicit collective calls needed.
+
+Multi-host: `jax.distributed.initialize()` + the same mesh over all processes'
+devices (DCN axis outermost) — see `runtime/train.py --multihost`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "env") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_batch_tree(tree, mesh: Mesh, batch_size: int, axis: str = "env"):
+    """Shard every leaf whose leading dim == batch_size on the mesh axis;
+    replicate everything else (scalars, global curriculum state, PRNG keys)."""
+    sharded = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == batch_size:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(put, tree)

@@ -1,0 +1,1 @@
+from hcr_genesis_lr_cl_tpu.rl.ppo import PPO, PPOState  # noqa: F401

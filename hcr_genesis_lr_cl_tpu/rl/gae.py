@@ -1,0 +1,41 @@
+"""Generalized Advantage Estimation as a reverse lax.scan.
+
+Reference semantics: rollout_storage.py:124-138 (reverse sweep + *global*
+advantage normalization) and ppo.py:107-112 (timeout bootstrapping: on
+time_out, the env reward is augmented with gamma * V(s) so truncation is not
+treated as termination).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_gae(rewards, values, dones, time_outs, last_values, gamma, lam):
+    """All inputs time-major (T, N); returns (returns, advantages) (T, N).
+
+    Advantages are normalized with the global (all T*N) mean/std — under a
+    sharded env axis this mean/std lowers to cross-device psums, preserving
+    the reference's single-GPU semantics exactly.
+    """
+    # timeout bootstrap (ppo.py:111-112)
+    rewards = rewards + gamma * values * time_outs
+
+    def step(carry, x):
+        next_adv, next_value = carry
+        reward, value, done = x
+        not_done = 1.0 - done
+        delta = reward + gamma * next_value * not_done - value
+        adv = delta + gamma * lam * not_done * next_adv
+        return (adv, value), adv
+
+    (_, _), advs = jax.lax.scan(
+        step,
+        (jnp.zeros_like(last_values), last_values),
+        (rewards, values, dones.astype(rewards.dtype)),
+        reverse=True,
+    )
+    returns = advs + values
+    norm_advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+    return returns, norm_advs

@@ -1,0 +1,188 @@
+"""PPO (+SPO) with adaptive-KL learning rate — fully jitted update.
+
+Reference semantics: rsl_rl/algorithms/ppo.py — clipped surrogate or SPO
+quadratic penalty (:180-191), adaptive-KL LR with x1.5 steps bounded to
+[1e-5, 1e-2] applied *per minibatch before its gradient step* (:193-206),
+clipped value loss (:208-218), minibatching by randperm over T*N
+(rollout_storage.py:148-184), 5 epochs x 4 minibatches.
+
+TPU-native inversions: the whole update (epochs x minibatches) is a
+lax.scan inside one jit; the optimizer is optax.adam behind
+inject_hyperparams so the adaptive LR is a traced value, not a Python-side
+mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from hcr_genesis_lr_cl_tpu.core.config import AlgorithmCfg
+from hcr_genesis_lr_cl_tpu.models import networks as nets
+
+
+@struct.dataclass
+class PPOState:
+    params: dict
+    opt_state: optax.OptState
+    lr: jnp.ndarray  # () adaptive learning rate
+    rng: jnp.ndarray
+
+
+@struct.dataclass
+class Transition:
+    """One rollout step, time-major batched to (T, N, ...) by the runner."""
+
+    obs: jnp.ndarray
+    critic_obs: jnp.ndarray
+    actions: jnp.ndarray
+    rewards: jnp.ndarray
+    dones: jnp.ndarray
+    time_outs: jnp.ndarray
+    values: jnp.ndarray
+    log_probs: jnp.ndarray
+    means: jnp.ndarray
+    log_stds: jnp.ndarray
+
+
+class PPO:
+    """Static algorithm object; all methods are pure and jittable."""
+
+    def __init__(self, network, cfg: AlgorithmCfg):
+        self.net = network
+        self.cfg = cfg
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
+        )
+
+    def init(self, key, obs_dim: int, critic_obs_dim: int) -> PPOState:
+        k1, k2 = jax.random.split(key)
+        params = self.net.init(
+            k1, jnp.zeros((1, obs_dim)), jnp.zeros((1, critic_obs_dim))
+        )
+        return PPOState(
+            params=params,
+            opt_state=self.tx.init(params),
+            lr=jnp.float32(self.cfg.learning_rate),
+            rng=k2,
+        )
+
+    def act(self, params, key, obs, critic_obs):
+        mean, value, log_std = self.net.apply(params, obs, critic_obs)
+        action = nets.sample_action(key, mean, log_std)
+        logp = nets.gaussian_log_prob(mean, log_std, action)
+        return action, logp, value, mean, log_std
+
+    def act_inference(self, params, obs):
+        return self.net.apply(params, obs, method=self.net.act_mean)
+
+    # ------------------------------------------------------------------
+
+    def _loss(self, params, mb, lr_unused):
+        cfg = self.cfg
+        mean, value, log_std = self.net.apply(params, mb["obs"], mb["critic_obs"])
+        logp = nets.gaussian_log_prob(mean, log_std, mb["actions"])
+        ratio = jnp.exp(logp - mb["log_probs"])
+        adv = mb["advantages"]
+        if cfg.use_spo:
+            surrogate = -jnp.mean(
+                adv * ratio - jnp.abs(adv) * jnp.square(ratio - 1.0) / (2.0 * cfg.clip_param)
+            )
+        else:
+            s1 = -adv * ratio
+            s2 = -adv * jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
+            surrogate = jnp.mean(jnp.maximum(s1, s2))
+        if cfg.use_clipped_value_loss:
+            v_clip = mb["values"] + jnp.clip(
+                value - mb["values"], -cfg.clip_param, cfg.clip_param
+            )
+            value_loss = jnp.mean(
+                jnp.maximum(
+                    jnp.square(value - mb["returns"]), jnp.square(v_clip - mb["returns"])
+                )
+            )
+        else:
+            value_loss = jnp.mean(jnp.square(mb["returns"] - value))
+        entropy = jnp.mean(nets.gaussian_entropy(log_std))
+        loss = surrogate + cfg.value_loss_coef * value_loss - cfg.entropy_coef * entropy
+        kl = jnp.mean(
+            nets.gaussian_kl(mb["means"], mb["log_stds"], mean, log_std)
+        )
+        return loss, (surrogate, value_loss, entropy, kl)
+
+    def _adapt_lr(self, lr, kl):
+        cfg = self.cfg
+        if cfg.schedule != "adaptive" or cfg.desired_kl is None:
+            return lr
+        dec = jnp.maximum(1e-5, lr / 1.5)
+        inc = jnp.minimum(1e-2, lr * 1.5)
+        return jnp.where(
+            kl > cfg.desired_kl * 2.0, dec,
+            jnp.where((kl < cfg.desired_kl / 2.0) & (kl > 0.0), inc, lr),
+        )
+
+    def update(self, st: PPOState, batch: Transition, returns, advantages) -> Tuple[PPOState, Dict]:
+        """Epochs x minibatches over the flattened (T*N) rollout."""
+        cfg = self.cfg
+        T, N = batch.rewards.shape
+        total = T * N
+        mb_size = total // cfg.num_mini_batches
+        flat = {
+            "obs": batch.obs.reshape(total, -1),
+            "critic_obs": batch.critic_obs.reshape(total, -1),
+            "actions": batch.actions.reshape(total, -1),
+            "values": batch.values.reshape(total),
+            "log_probs": batch.log_probs.reshape(total),
+            "means": batch.means.reshape(total, -1),
+            "log_stds": batch.log_stds.reshape(total, -1),
+            "returns": returns.reshape(total),
+            "advantages": advantages.reshape(total),
+        }
+        key, sub = jax.random.split(st.rng)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, total))(
+            jax.random.split(sub, cfg.num_learning_epochs)
+        )  # (epochs, total) — fresh randperm per epoch (rollout_storage.py:156)
+        idx = perms[:, : mb_size * cfg.num_mini_batches].reshape(
+            cfg.num_learning_epochs * cfg.num_mini_batches, mb_size
+        )
+
+        def minibatch_step(carry, mb_idx):
+            params, opt_state, lr = carry
+            mb = {k: v[mb_idx] for k, v in flat.items()}
+            (loss, (sur, vl, ent, kl)), grads = jax.value_and_grad(
+                self._loss, has_aux=True
+            )(params, mb, lr)
+            # adaptive LR applied before this minibatch's step (ppo.py:168)
+            lr = self._adapt_lr(lr, kl)
+            new_opt_state = _set_lr(opt_state, lr)
+            updates, new_opt_state = self.tx.update(grads, new_opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_opt_state, lr), jnp.stack([loss, sur, vl, ent, kl])
+
+        (params, opt_state, lr), stats = jax.lax.scan(
+            minibatch_step, (st.params, st.opt_state, st.lr), idx
+        )
+        mean_stats = stats.mean(axis=0)
+        info = {
+            "loss": mean_stats[0],
+            "surrogate_loss": mean_stats[1],
+            "value_loss": mean_stats[2],
+            "entropy": mean_stats[3],
+            "kl": mean_stats[4],
+            "lr": lr,
+        }
+        return st.replace(params=params, opt_state=opt_state, lr=lr, rng=key), info
+
+
+def _set_lr(opt_state, lr):
+    """Rewrite the injected learning_rate hyperparam inside the chain state."""
+    inner = opt_state[1]  # state of inject_hyperparams(adam) in the chain
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = lr
+    new_inner = inner._replace(hyperparams=hp)
+    return (opt_state[0], new_inner)

@@ -1,0 +1,205 @@
+"""OnPolicyRunner: the train loop (reference rsl_rl/runners/on_policy_runner.py).
+
+TPU-native shape: one jitted `train_iteration` = [lax.scan rollout of
+num_steps_per_env] -> [GAE] -> [PPO update]; the Python loop only sequences
+iterations and fetches metrics at log_interval. No host round-trips inside an
+iteration — the reference's `.item()` logging calls (:133-134) become a
+single device->host transfer of a small metrics dict per logged iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization, struct
+
+from hcr_genesis_lr_cl_tpu.core.config import TrainCfg
+from hcr_genesis_lr_cl_tpu.models.networks import ActorCritic
+from hcr_genesis_lr_cl_tpu.rl import gae as gae_mod
+from hcr_genesis_lr_cl_tpu.rl.ppo import PPO, PPOState, Transition
+
+
+@struct.dataclass
+class RunnerState:
+    env_state: object
+    obs: jnp.ndarray
+    critic_obs: jnp.ndarray
+    ppo: PPOState
+    rng: jnp.ndarray
+
+
+class OnPolicyRunner:
+    def __init__(self, env, train_cfg: TrainCfg, log_dir: Optional[str] = None,
+                 writer=None):
+        self.env = env
+        self.cfg = train_cfg
+        self.log_dir = log_dir
+        self.writer = writer
+        p = train_cfg.policy
+        self.network = self.make_network()
+        self.alg = PPO(self.network, train_cfg.algorithm)
+        self.obs_dim = env.cfg.env.num_observations
+        self.critic_obs_dim = env.cfg.env.num_privileged_obs or self.obs_dim
+        self.num_steps = train_cfg.runner.num_steps_per_env
+        self.iter = 0
+        self._train_iter_fn = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+
+    def make_network(self):
+        p = self.cfg.policy
+        return ActorCritic(
+            num_actions=self.env.num_actions,
+            actor_hidden_dims=p.actor_hidden_dims,
+            critic_hidden_dims=p.critic_hidden_dims,
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, key) -> RunnerState:
+        k_env, k_ppo, k_run, k_len = jax.random.split(key, 4)
+        env_state = self.env.init(k_env)
+        # init_at_random_ep_len (on_policy_runner.py:168-169): stagger episodes
+        rand_len = jax.random.randint(
+            k_len, env_state.episode_length.shape, 0, self.env.max_episode_length
+        )
+        env_state = env_state.replace(episode_length=rand_len)
+        obs, priv = self.env.compute_observations(env_state, jax.random.fold_in(k_env, 1))
+        critic_obs = priv if (priv is not None and priv.shape[-1]) else obs
+        ppo_state = self.alg.init(k_ppo, self.obs_dim, self.critic_obs_dim)
+        return RunnerState(env_state, obs, critic_obs, ppo_state, k_run)
+
+    def _rollout(self, st: RunnerState):
+        def step(carry, _):
+            env_state, obs, critic_obs, rng = carry
+            rng, k_act = jax.random.split(rng)
+            action, logp, value, mean, log_std = self.alg.act(
+                st.ppo.params, k_act, obs, critic_obs
+            )
+            env_state, out = self.env.step(env_state, action)
+            next_critic = (
+                out.privileged_obs if out.privileged_obs.shape[-1] else out.obs
+            )
+            tr = Transition(
+                obs=obs, critic_obs=critic_obs, actions=action,
+                rewards=out.rew, dones=out.done, time_outs=out.time_out,
+                values=value, log_probs=logp, means=mean,
+                log_stds=jnp.broadcast_to(log_std, mean.shape),
+            )
+            return (env_state, out.obs, next_critic, rng), (tr, out.metrics, out.rew)
+
+        (env_state, obs, critic_obs, rng), (batch, metrics, rews) = jax.lax.scan(
+            step, (st.env_state, st.obs, st.critic_obs, st.rng), None,
+            length=self.num_steps,
+        )
+        return st.replace(env_state=env_state, obs=obs, critic_obs=critic_obs, rng=rng), batch, metrics, rews
+
+    def train_iteration(self, st: RunnerState):
+        st, batch, metrics, rews = self._rollout(st)
+        last_value = self.network.apply(
+            st.ppo.params, st.critic_obs, method=self.network.value
+        )
+        returns, advantages = gae_mod.compute_gae(
+            batch.rewards, batch.values, batch.dones, batch.time_outs,
+            last_value, self.cfg.algorithm.gamma, self.cfg.algorithm.lam,
+        )
+        ppo_state, info = self.alg.update(st.ppo, batch, returns, advantages)
+        st = st.replace(ppo=ppo_state)
+        # weighted episode metrics over the T rollout steps
+        cnt = jnp.maximum(jnp.sum(metrics["reset_count"]), 1.0)
+        ep_metrics = {
+            k: jnp.sum(v * metrics["reset_count"]) / cnt
+            for k, v in metrics.items()
+            if k not in ("reset_count",)
+        }
+        ep_metrics["episode_resets"] = jnp.sum(metrics["reset_count"])
+        ep_metrics["mean_step_reward"] = jnp.mean(rews)
+        ep_metrics["noise_std"] = jnp.mean(jnp.exp(st.ppo.params["params"]["log_std"]))
+        info.update(ep_metrics)
+        return st, info
+
+    # ------------------------------------------------------------------
+
+    def learn(self, num_iterations: int, key=None, log_interval: int = 10,
+              save_interval: Optional[int] = None, st: Optional[RunnerState] = None):
+        key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
+        if st is None:
+            st = self.init_state(key)
+        if self._train_iter_fn is None:
+            self._train_iter_fn = jax.jit(self.train_iteration)
+        save_interval = save_interval or self.cfg.runner.save_interval
+        t_start = time.time()
+        n_env_steps = self.num_steps * self.env.num_envs
+        for it in range(num_iterations):
+            t0 = time.time()
+            st, info = self._train_iter_fn(st)
+            self.iter += 1
+            if (it + 1) % log_interval == 0 or it == 0:
+                info = jax.device_get(info)
+                dt_it = (time.time() - t0)
+                fps = n_env_steps / max(dt_it, 1e-9)
+                self._log(it + 1, num_iterations, info, fps)
+            if self.log_dir and ((it + 1) % save_interval == 0 or it + 1 == num_iterations):
+                self.save(st, os.path.join(self.log_dir, f"model_{self.iter}.ckpt"))
+        total = time.time() - t_start
+        print(f"learn done: {num_iterations} iters in {total:.1f}s "
+              f"({num_iterations * n_env_steps / total:.0f} env steps/s)")
+        return st
+
+    def _log(self, it, total_iters, info, fps):
+        line = (
+            f"it {it}/{total_iters} | fps {fps:,.0f} | "
+            f"rew/step {info.get('mean_step_reward', 0):.3f} | "
+            f"ep_len {info.get('mean_episode_length', 0):.0f} | "
+            f"surr {info.get('surrogate_loss', 0):.4f} | "
+            f"vloss {info.get('value_loss', 0):.3f} | "
+            f"kl {info.get('kl', 0):.4f} | lr {info.get('lr', 0):.2e} | "
+            f"std {info.get('noise_std', 0):.2f}"
+        )
+        print(line, flush=True)
+        if self.writer is not None:
+            for k, v in info.items():
+                self.writer.add_scalar(f"train/{k}", float(np.asarray(v)), it)
+        if self.log_dir:
+            with open(os.path.join(self.log_dir, "metrics.jsonl"), "a") as f:
+                rec = {"iter": it, "fps": fps}
+                rec.update({k: float(np.asarray(v)) for k, v in info.items()})
+                f.write(json.dumps(rec) + "\n")
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference on_policy_runner.py:240-254)
+    # ------------------------------------------------------------------
+
+    def save(self, st: RunnerState, path: str):
+        payload = {
+            "params": serialization.to_bytes(st.ppo.params),
+            "opt_state": serialization.to_bytes(st.ppo.opt_state),
+            "lr": float(st.ppo.lr),
+            "iter": self.iter,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load(self, st: RunnerState, path: str) -> RunnerState:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        params = serialization.from_bytes(st.ppo.params, payload["params"])
+        opt_state = serialization.from_bytes(st.ppo.opt_state, payload["opt_state"])
+        self.iter = payload["iter"]
+        return st.replace(
+            ppo=st.ppo.replace(
+                params=params, opt_state=opt_state, lr=jnp.float32(payload["lr"])
+            )
+        )
+
+    def get_inference_policy(self, st: RunnerState):
+        return jax.jit(lambda obs: self.alg.act_inference(st.ppo.params, obs))

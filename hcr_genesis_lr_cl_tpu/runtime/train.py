@@ -1,0 +1,94 @@
+"""Training CLI (reference: legged_gym/scripts/train.py + utils/helpers.py).
+
+Usage:
+    python -m hcr_genesis_lr_cl_tpu.runtime.train --task go2 \
+        [--num_envs N] [--max_iterations I] [--seed S] [--headless] \
+        [--experiment_name NAME] [--run_name NAME] [--resume] [--load_run RUN] \
+        [--checkpoint CKPT] [--devices D]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+
+
+def get_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="go2")
+    ap.add_argument("--num_envs", type=int, default=None)
+    ap.add_argument("--max_iterations", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--headless", action="store_true")  # accepted for parity; no viewer
+    ap.add_argument("--experiment_name", default=None)
+    ap.add_argument("--run_name", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--load_run", default="-1")
+    ap.add_argument("--checkpoint", type=int, default=-1)
+    ap.add_argument("--devices", type=int, default=None, help="shard envs over this many devices")
+    ap.add_argument("--logdir_root", default="logs")
+    ap.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
+    return ap.parse_args(argv)
+
+
+def find_checkpoint(exp_dir: str, load_run: str, checkpoint: int) -> str:
+    """Latest-run/-checkpoint discovery (reference helpers.py:48-70)."""
+    runs = sorted(d for d in os.listdir(exp_dir) if os.path.isdir(os.path.join(exp_dir, d)))
+    run = runs[-1] if load_run in ("-1", -1) else load_run
+    run_dir = os.path.join(exp_dir, run)
+    cks = sorted(
+        (f for f in os.listdir(run_dir) if f.startswith("model_") and f.endswith(".ckpt")),
+        key=lambda f: int(f.split("_")[1].split(".")[0]),
+    )
+    name = cks[-1] if checkpoint == -1 else f"model_{checkpoint}.ckpt"
+    return os.path.join(run_dir, name)
+
+
+def train(args):
+    from hcr_genesis_lr_cl_tpu.envs import registry
+    from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    cfg, tcfg = registry.get_cfgs(args.task, num_envs=args.num_envs)
+    if args.seed is not None:
+        tcfg = tcfg.replace(seed=args.seed)
+    if args.max_iterations is not None:
+        tcfg = tcfg.replace(runner=tcfg.runner.replace(max_iterations=args.max_iterations))
+    if args.experiment_name:
+        tcfg = tcfg.replace(runner=tcfg.runner.replace(experiment_name=args.experiment_name))
+    if args.run_name:
+        tcfg = tcfg.replace(runner=tcfg.runner.replace(run_name=args.run_name))
+
+    exp_dir = os.path.join(args.logdir_root, tcfg.runner.experiment_name)
+    stamp = time.strftime("%b%d_%H-%M-%S")
+    log_dir = os.path.join(exp_dir, f"{stamp}_{tcfg.runner.run_name}")
+    os.makedirs(log_dir, exist_ok=True)
+    # snapshot configs into the log dir (reference train.py:17-28)
+    with open(os.path.join(log_dir, "config.json"), "w") as f:
+        json.dump(
+            {"env_cfg": dataclasses.asdict(cfg), "train_cfg": dataclasses.asdict(tcfg),
+             "task": args.task},
+            f, indent=1, default=str,
+        )
+
+    env = registry.make_env(args.task, cfg=cfg)
+    runner = OnPolicyRunner(env, tcfg, log_dir=log_dir)
+    key = jax.random.PRNGKey(tcfg.seed)
+    st = None
+    if args.resume:
+        st = runner.init_state(key)
+        ckpt = find_checkpoint(exp_dir, args.load_run, args.checkpoint)
+        print(f"resuming from {ckpt}")
+        st = runner.load(st, ckpt)
+    runner.learn(tcfg.runner.max_iterations, key=key, st=st)
+
+
+if __name__ == "__main__":
+    train(get_args())

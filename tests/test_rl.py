@@ -1,0 +1,113 @@
+"""RL stack tests: GAE vs naive oracle, PPO update mechanics, sharded training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcr_genesis_lr_cl_tpu.rl import gae as gae_mod
+
+
+class TestGAE:
+    def test_matches_naive_python(self):
+        rng = np.random.default_rng(0)
+        T, N = 12, 5
+        gamma, lam = 0.99, 0.95
+        rewards = rng.normal(size=(T, N)).astype(np.float32)
+        values = rng.normal(size=(T, N)).astype(np.float32)
+        dones = (rng.uniform(size=(T, N)) < 0.1).astype(np.float32)
+        time_outs = np.zeros((T, N), dtype=np.float32)
+        last_values = rng.normal(size=(N,)).astype(np.float32)
+
+        returns, advs = gae_mod.compute_gae(
+            jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+            jnp.asarray(time_outs), jnp.asarray(last_values), gamma, lam,
+        )
+
+        # naive reverse loop (reference rollout_storage.py:124-138)
+        adv_ref = np.zeros((T, N))
+        next_adv = np.zeros(N)
+        for t in reversed(range(T)):
+            next_v = last_values if t == T - 1 else values[t + 1]
+            nd = 1.0 - dones[t]
+            delta = rewards[t] + gamma * next_v * nd - values[t]
+            next_adv = delta + gamma * lam * nd * next_adv
+            adv_ref[t] = next_adv
+        ret_ref = adv_ref + values
+        np.testing.assert_allclose(np.asarray(returns), ret_ref, rtol=1e-4, atol=1e-5)
+        norm_ref = (adv_ref - adv_ref.mean()) / (adv_ref.std() + 1e-8)
+        np.testing.assert_allclose(np.asarray(advs), norm_ref, rtol=1e-3, atol=1e-4)
+
+    def test_timeout_bootstrap(self):
+        """A timeout step must add gamma*V to the reward (ppo.py:111-112)."""
+        T, N = 2, 1
+        rewards = jnp.ones((T, N))
+        values = jnp.full((T, N), 10.0)
+        dones = jnp.asarray([[1.0], [0.0]])
+        time_outs = jnp.asarray([[1.0], [0.0]])
+        last_values = jnp.zeros(N)
+        ret_to, _ = gae_mod.compute_gae(rewards, values, dones, time_outs, last_values, 0.99, 0.95)
+        ret_no, _ = gae_mod.compute_gae(rewards, values, dones, jnp.zeros_like(time_outs), last_values, 0.99, 0.95)
+        assert float(ret_to[0, 0]) == pytest.approx(float(ret_no[0, 0]) + 0.99 * 10.0, rel=1e-5)
+
+
+class TestPPOTraining:
+    def test_go2_training_improves_and_is_finite(self):
+        from hcr_genesis_lr_cl_tpu.envs import registry
+        from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+
+        env = registry.make_env("go2", num_envs=16)
+        _, tcfg = registry.get_cfgs("go2")
+        tcfg = tcfg.replace(
+            runner=tcfg.runner.replace(num_steps_per_env=8),
+            algorithm=tcfg.algorithm.replace(num_learning_epochs=2, num_mini_batches=2),
+        )
+        runner = OnPolicyRunner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(runner.train_iteration)
+        for _ in range(3):
+            st, info = step(st)
+        assert np.isfinite(float(info["loss"]))
+        assert np.isfinite(float(info["mean_step_reward"]))
+        assert float(info["lr"]) >= 1e-5
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from hcr_genesis_lr_cl_tpu.envs import registry
+        from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+
+        env = registry.make_env("go2", num_envs=4)
+        _, tcfg = registry.get_cfgs("go2")
+        runner = OnPolicyRunner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        path = str(tmp_path / "model_1.ckpt")
+        runner.save(st, path)
+        st2 = runner.init_state(jax.random.PRNGKey(42))
+        st2 = runner.load(st2, path)
+        p1 = jax.tree.leaves(st.ppo.params)
+        p2 = jax.tree.leaves(st2.ppo.params)
+        for a, b in zip(p1, p2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestShardedTraining:
+    def test_dryrun_multichip_8(self):
+        """The driver's multi-chip validation path on the 8-device CPU mesh."""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_sharded_matches_semantics(self):
+        """Env step under a sharded batch produces finite outputs with the
+        expected sharding propagated."""
+        from hcr_genesis_lr_cl_tpu.envs import registry
+        from hcr_genesis_lr_cl_tpu.parallel.mesh import make_mesh, shard_batch_tree
+
+        env = registry.make_env("go2", num_envs=16)
+        mesh = make_mesh(8)
+        state = env.init(jax.random.PRNGKey(0))
+        state = shard_batch_tree(state, mesh, 16)
+        step = jax.jit(env.step)
+        state2, out = step(state, jnp.zeros((16, env.num_actions)))
+        assert bool(jnp.all(jnp.isfinite(out.obs)))
