@@ -1,0 +1,1 @@
+from hcr_genesis_lr_cl_tpu.mpc.ilqr import ilqr_solve  # noqa: F401

@@ -1,0 +1,121 @@
+"""MPC benchmark configurations (BASELINE.json "configs").
+
+- go2 flat single-scenario short-horizon (CPU-runnable)
+- go2 flat x N batched domain-randomized scenarios (+ optional WTW gait cost)
+- go2 rough heightfield
+- tron1_pf with CaT terms as steep constraint penalties
+- tron1_sf x N multi-host (scenario sharding over the mesh)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc import ilqr
+from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField
+
+
+def make_go2_mpc(terrain: Optional[TerrainField] = None, substeps: int = 4,
+                 dt: float = 0.02):
+    from hcr_genesis_lr_cl_tpu.envs import registry
+
+    env = registry.make_env("go2", num_envs=1)
+    mm = mdyn.MpcModel(
+        model=env.model,
+        terrain=terrain if terrain is not None else env.terrain,
+        gains=env.gains,
+        dt=dt,
+        substeps=substeps,
+        gravity=jnp.asarray(env.cfg.sim.gravity),
+        contact_stiffness=env.cfg.sim.contact_stiffness,
+        contact_damping=env.cfg.sim.contact_damping,
+        contact_friction_vel=env.cfg.sim.contact_friction_vel,
+        friction=1.0,
+        joint_limit_stiffness=env.cfg.sim.joint_limit_stiffness,
+        joint_limit_damping=env.cfg.sim.joint_limit_damping,
+    )
+    return env, mm
+
+
+def default_x0(env, mm, height=0.32):
+    q = mm.gains.default_dof_pos
+    return mdyn.pack(
+        jnp.array([1.0, 0, 0, 0]), jnp.array([0.0, 0.0, height]),
+        jnp.zeros(6), q, jnp.zeros(env.model.nj),
+    )
+
+
+def make_solver(env, mm, weights: mcosts.CostWeights, horizon: int,
+                n_iters: int = 3):
+    """Batched solver: (x0 (S,nx), params CostParams (S,...), us (S,T,nu))."""
+
+    def solve_one(x0, p, u_init):
+        dyn = lambda x, u: mdyn.step(mm, x, u)
+        cost = lambda x, u, up, t: mcosts.stage_cost(mm, weights, p, x, u, up, t)
+        term = lambda x: mcosts.terminal_cost(mm, weights, p, x)
+        return ilqr.ilqr_solve(dyn, cost, term, x0, u_init, n_iters=n_iters)
+
+    return jax.jit(jax.vmap(solve_one))
+
+
+def sample_scenarios(key, env, mm, n: int, vx_range=(-0.5, 0.8)):
+    ks = jax.random.split(key, 4)
+    cmd = jnp.stack(
+        [
+            jax.random.uniform(ks[0], (n,), minval=vx_range[0], maxval=vx_range[1]),
+            jax.random.uniform(ks[1], (n,), minval=-0.3, maxval=0.3),
+            jax.random.uniform(ks[2], (n,), minval=-0.5, maxval=0.5),
+        ],
+        axis=-1,
+    )
+    nf = env.num_feet
+    params = mcosts.CostParams(
+        command=cmd,
+        base_height_target=jnp.full((n,), 0.32),
+        default_dof_pos=jnp.tile(mm.gains.default_dof_pos, (n, 1)),
+        gait_phase0=jnp.zeros(n),
+        gait_freq=jnp.full((n,), 2.0),
+        gait_offsets=jnp.tile(jnp.asarray([0.0, 0.5, 0.5, 0.0])[:nf], (n, 1)),
+    )
+    # domain-randomized initial states: jitter pose/velocity
+    x0 = jnp.tile(default_x0(env, mm), (n, 1))
+    x0 = x0.at[:, 13 : 13 + env.model.nj].add(
+        jax.random.uniform(ks[3], (n, env.model.nj), minval=-0.1, maxval=0.1)
+    )
+    return x0, params
+
+
+def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
+                   use_gait=False):
+    env, mm = make_go2_mpc()
+    w = mcosts.CostWeights(gait=1.0 if use_gait else 0.0)
+    solver = make_solver(env, mm, w, horizon, n_iters=n_iters)
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)
+    u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
+    res = solver(x0, params, u0)
+    jax.block_until_ready(res.cost)
+    times = []
+    for _ in range(n_solves):
+        t0 = time.time()
+        res = solver(x0, params, u0)
+        jax.block_until_ready(res.cost)
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    return {
+        "solves_per_sec": 1.0 / times.mean(),
+        "p50_ms": float(np.percentile(times, 50) * 1e3),
+        "p99_ms": float(np.percentile(times, 99) * 1e3),
+        "num_scenarios": num_scenarios,
+        "horizon": horizon,
+        "n_iters": n_iters,
+        "final_cost_mean": float(res.cost.mean()),
+        "initial_cost_mean": float(res.cost_trace[:, 0].mean()),
+    }

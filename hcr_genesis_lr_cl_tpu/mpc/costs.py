@@ -1,0 +1,122 @@
+"""Differentiable cost stack for the MPC engine.
+
+Rebuilds the reference's reward/constraint terms as stage costs (negative
+reward, quadraticized by iLQR): velocity tracking (legged_robot.py:533-543),
+orientation/height/torque/action-rate shaping (:458-531), CaT constraint
+terms as penalty costs (go2_cat.py:135-215 soft/hard limits), and the WTW
+periodic-gait phase cost (go2_wtw.py:377-470 von-Mises gait indicator — in
+jnp, fixing the reference's CPU scipy round-trip).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.utils import math as hm
+
+
+class CostWeights(NamedTuple):
+    tracking_lin_vel: float = 4.0
+    tracking_ang_vel: float = 2.0
+    lin_vel_z: float = 1.0
+    ang_vel_xy: float = 0.2
+    orientation: float = 5.0
+    base_height: float = 20.0
+    torques: float = 1e-4
+    dof_vel: float = 1e-3
+    action_rate: float = 0.05
+    dof_close_to_default: float = 0.2
+    # CaT-style constraint penalties (hard limits as steep hinge^2)
+    dof_pos_limit: float = 10.0
+    torque_limit: float = 1e-2
+    # periodic gait phase cost (WTW)
+    gait: float = 0.0
+    terminal_scale: float = 5.0
+
+
+class CostParams(NamedTuple):
+    """Per-scenario cost data (vmapped over the scenario batch)."""
+
+    command: jnp.ndarray  # (3,) [vx, vy, wz] in base frame
+    base_height_target: jnp.ndarray  # ()
+    default_dof_pos: jnp.ndarray  # (nj,) topo order
+    gait_phase0: jnp.ndarray  # () initial gait phase in [0,1)
+    gait_freq: jnp.ndarray  # () strides/s
+    gait_offsets: jnp.ndarray  # (nf,) per-foot phase offsets (trot etc.)
+
+
+def _gait_indicator(phase, kappa=8.0):
+    """Smooth swing(0)/stance(1) indicator: wrapped cosine squashing.
+
+    The reference computes an expectation of a square-wave indicator under a
+    von-Mises phase distribution via scipy.stats.vonmises.cdf on the CPU
+    (go2_wtw.py:423-429). A logistic-of-cosine has the same shape (smooth
+    0/1 transitions of controllable sharpness) and is trivially jnp/TPU-safe.
+    """
+    return 1.0 / (1.0 + jnp.exp(-kappa * jnp.sin(2 * jnp.pi * phase)))
+
+
+def stage_cost(mm: mdyn.MpcModel, w: CostWeights, p: CostParams,
+               x, u, u_prev, t: jnp.ndarray):
+    m = mm.model
+    quat, pos, v, q, qd = mdyn.unpack(m, x)
+    quat = hm.normalize(quat)
+    R = hm.quat_to_rotmat(quat)
+    gvec = hm.normalize(mm.gravity)
+    proj_grav = R.T @ gvec
+    lin_vel = v[3:]
+    ang_vel = v[:3]
+
+    c = 0.0
+    c += w.tracking_lin_vel * jnp.sum(jnp.square(lin_vel[:2] - p.command[:2]))
+    c += w.tracking_ang_vel * jnp.square(ang_vel[2] - p.command[2])
+    c += w.lin_vel_z * jnp.square(lin_vel[2])
+    c += w.ang_vel_xy * jnp.sum(jnp.square(ang_vel[:2]))
+    c += w.orientation * jnp.sum(jnp.square(proj_grav[:2]))
+    h = pos[2] - mm.terrain.height(pos[0], pos[1])
+    c += w.base_height * jnp.square(h - p.base_height_target)
+    tau = mdyn.torques(mm, x, u)
+    c += w.torques * jnp.sum(jnp.square(tau))
+    c += w.dof_vel * jnp.sum(jnp.square(qd))
+    c += w.action_rate * jnp.sum(jnp.square(u - u_prev))
+    c += w.dof_close_to_default * jnp.sum(jnp.square(q - p.default_dof_pos))
+
+    # constraint penalties (CaT-as-cost: hinge^2 on the limit surfaces)
+    c += w.dof_pos_limit * jnp.sum(
+        jnp.square(jnp.maximum(q - m.q_hi, 0.0))
+        + jnp.square(jnp.minimum(q - m.q_lo, 0.0))
+    )
+    c += w.torque_limit * jnp.sum(
+        jnp.square(jnp.maximum(jnp.abs(tau) - 0.9 * m.effort_limit, 0.0))
+    )
+
+    if w.gait:
+        # WTW periodic phase cost: feet should be light in swing phase and
+        # loaded in stance; approximated kinematically via foot height/vel
+        phase = p.gait_phase0 + p.gait_freq * mm.dt * t
+        foot_phase = jnp.mod(phase + p.gait_offsets, 1.0)
+        stance = _gait_indicator(foot_phase)
+        from hcr_genesis_lr_cl_tpu.physics import dynamics as dyn
+
+        kinf = dyn.forward_kinematics(m, quat, pos, v, q, qd)
+        sb = jnp.asarray(m.site_body)
+        feet_p = kinf.p_w[sb] + jnp.einsum(
+            "fij,fj->fi", kinf.R_w[sb], m.site_offset
+        )
+        foot_h = feet_p[:, 2] - mm.terrain.height(feet_p[:, 0], feet_p[:, 1])
+        # stance feet low, swing feet at clearance height (~6 cm)
+        c += w.gait * jnp.sum(
+            stance * jnp.square(foot_h - 0.022)
+            + (1.0 - stance) * jnp.square(foot_h - 0.08)
+        )
+    return c
+
+
+def terminal_cost(mm: mdyn.MpcModel, w: CostWeights, p: CostParams, x):
+    u0 = jnp.zeros(mm.model.nj)
+    return w.terminal_scale * stage_cost(
+        mm, w._replace(torques=0.0, action_rate=0.0), p, x, u0, u0, 0
+    )

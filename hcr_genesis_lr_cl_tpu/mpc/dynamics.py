@@ -1,0 +1,111 @@
+"""MPC-facing dynamics: the physics engine as f(x, u) over flat state vectors.
+
+The same differentiable engine that trains RL policies is the MPC model —
+there is no separate "simplified model": batched articulated-body dynamics +
+compliant contact ARE the prediction model (the BASELINE.json north star).
+
+State x = [quat(4), pos(3), v_base(6), q(nj), qd(nj)] in R^(13+2nj).
+Control u = PD action targets in the task's user dof order (like the policy).
+
+For speed inside the optimizer the control step integrates with
+`mpc_substeps` inner steps (default 4 = sim dt) instead of the training
+engine's decimation x substeps — the compliant contact model with capped
+damping (contact.py) stays well-behaved at these rates, and iLQR only needs
+cost-consistent rollouts, not long-horizon drift-free ones.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.physics import contact as ct
+from hcr_genesis_lr_cl_tpu.physics import dynamics as dyn
+from hcr_genesis_lr_cl_tpu.physics.engine import Gains
+from hcr_genesis_lr_cl_tpu.physics.model import RobotModel
+from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField
+from hcr_genesis_lr_cl_tpu.utils import math as hm
+
+
+class MpcModel(NamedTuple):
+    model: RobotModel
+    terrain: TerrainField
+    gains: Gains
+    dt: float  # control interval
+    substeps: int  # integrations per control interval
+    gravity: jnp.ndarray
+    contact_stiffness: float
+    contact_damping: float
+    contact_friction_vel: float
+    friction: float
+    joint_limit_stiffness: float
+    joint_limit_damping: float
+
+
+def nx(model: RobotModel) -> int:
+    return 13 + 2 * model.nj
+
+
+def pack(base_quat, base_pos, v_base, q, qd):
+    return jnp.concatenate([base_quat, base_pos, v_base, q, qd], axis=-1)
+
+
+def unpack(model: RobotModel, x):
+    nj = model.nj
+    return (
+        x[..., 0:4],
+        x[..., 4:7],
+        x[..., 7:13],
+        x[..., 13 : 13 + nj],
+        x[..., 13 + nj : 13 + 2 * nj],
+    )
+
+
+def step(mm: MpcModel, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """One control step (single env; vmap for scenario batches)."""
+    m = mm.model
+    quat, pos, v, q, qd = unpack(m, x)
+    quat = hm.normalize(quat)
+    uidx = jnp.asarray(m.user_dof_idx)
+    u_topo = jnp.zeros_like(q).at[uidx].set(u)
+    target = u_topo * mm.gains.action_scale + mm.gains.default_dof_pos
+    dt_sub = mm.dt / mm.substeps
+    d_imp = dt_sub * (mm.gains.kd + m.joint_damping)
+
+    def substep(carry, _):
+        quat, pos, v, q, qd = carry
+        kin = dyn.forward_kinematics(m, quat, pos, v, q, qd)
+        tau = mm.gains.kp * (target - q) - mm.gains.kd * qd
+        tau = jnp.clip(tau, -m.effort_limit, m.effort_limit)
+        tau = tau - m.joint_damping * qd - m.joint_friction * jnp.tanh(qd / 0.1)
+        tau = tau + ct.joint_limit_torque(
+            m, q, qd, mm.joint_limit_stiffness, mm.joint_limit_damping
+        )
+        f_ext, _, _ = ct.contact_forces(
+            m, mm.terrain, kin, mm.friction,
+            mm.contact_stiffness, mm.contact_damping, mm.contact_friction_vel,
+        )
+        a0, qdd = dyn.aba(m, kin, qd, tau, f_ext, d_implicit=d_imp)
+        quat, pos, v, q, qd = dyn.integrate(
+            quat, pos, v, q, qd, a0, qdd, mm.gravity, dt_sub
+        )
+        qd = jnp.clip(qd, -m.vel_limit, m.vel_limit)
+        return (quat, pos, v, q, qd), None
+
+    (quat, pos, v, q, qd), _ = jax.lax.scan(
+        substep, (quat, pos, v, q, qd), None, length=mm.substeps
+    )
+    return pack(quat, pos, v, q, qd)
+
+
+def torques(mm: MpcModel, x, u):
+    """Applied PD torque at the start of the control step (for costs/parity)."""
+    m = mm.model
+    _, _, _, q, qd = unpack(m, x)
+    uidx = jnp.asarray(m.user_dof_idx)
+    u_topo = jnp.zeros_like(q).at[uidx].set(u)
+    target = u_topo * mm.gains.action_scale + mm.gains.default_dof_pos
+    tau = mm.gains.kp * (target - q) - mm.gains.kd * qd
+    return jnp.clip(tau, -m.effort_limit, m.effort_limit)

@@ -1,0 +1,144 @@
+"""iLQR trajectory optimizer — fixed iteration counts, fully jittable.
+
+TPU-first design decisions:
+- every loop bound is static (n_iters, horizon, line-search grid) so XLA sees
+  one flat program — no data-dependent control flow (the "early termination"
+  of CPU solvers becomes a masked accept);
+- linearization is one batched jacfwd over all T knots at once (and over all
+  scenarios when vmapped) — thousands of independent tangent solves saturate
+  the VPU;
+- the backward Riccati recursion is a lax.scan over T with unrolled small
+  Cholesky solves (physics/algebra.solve_psd) instead of pivoted LU;
+- the forward pass evaluates a *parallel* line-search grid of alphas via vmap
+  and accepts the argmin — replacing sequential backtracking.
+
+This is the engine the driver's north star asks for (BASELINE.json): the
+per-knot "QP blocks" are the (Q_uu, Q_ux, Q_u) systems; multi-scenario
+batching is an outer vmap; scenario sharding over a mesh axis composes with
+it for multi-chip scaling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.physics.algebra import solve_psd
+
+
+class IlqrResult(NamedTuple):
+    xs: jnp.ndarray  # (T+1, nx)
+    us: jnp.ndarray  # (T, nu)
+    cost: jnp.ndarray  # ()
+    cost_trace: jnp.ndarray  # (n_iters+1,)
+
+
+def _solve_psd_mat(A, B):
+    """A^{-1} B for small SPD A, B (..., n, m): column-wise unrolled Cholesky."""
+    return jax.vmap(lambda b: solve_psd(A, b), in_axes=-1, out_axes=-1)(B)
+
+
+def rollout(dyn: Callable, x0, us):
+    def f(x, u):
+        xn = dyn(x, u)
+        return xn, xn
+
+    _, xs = jax.lax.scan(f, x0, us)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def total_cost(cost: Callable, term_cost: Callable, xs, us):
+    T = us.shape[0]
+    u_prev = jnp.concatenate([us[:1], us[:-1]], axis=0)
+    ts = jnp.arange(T)
+    stage = jax.vmap(cost)(xs[:-1], us, u_prev, ts)
+    return stage.sum() + term_cost(xs[-1])
+
+
+def ilqr_solve(
+    dyn: Callable,  # f(x, u) -> x'
+    cost: Callable,  # l(x, u, u_prev, t) -> ()
+    term_cost: Callable,  # lf(x) -> ()
+    x0: jnp.ndarray,
+    u_init: jnp.ndarray,  # (T, nu)
+    n_iters: int = 10,
+    reg: float = 1e-3,
+    alphas=(1.0, 0.5, 0.25, 0.1, 0.03, 0.0),
+) -> IlqrResult:
+    T, nu = u_init.shape
+    nx = x0.shape[0]
+    ts = jnp.arange(T)
+    alphas = jnp.asarray(alphas)
+
+    def linearize(xs, us, u_prev):
+        fx = jax.vmap(jax.jacfwd(dyn, argnums=0))(xs[:-1], us)  # (T, nx, nx)
+        fu = jax.vmap(jax.jacfwd(dyn, argnums=1))(xs[:-1], us)  # (T, nx, nu)
+        # cost derivatives (Gauss-Newton-free exact Hessians of the stage cost)
+        lx = jax.vmap(jax.grad(cost, argnums=0))(xs[:-1], us, u_prev, ts)
+        lu = jax.vmap(jax.grad(cost, argnums=1))(xs[:-1], us, u_prev, ts)
+        lxx = jax.vmap(jax.hessian(cost, argnums=0))(xs[:-1], us, u_prev, ts)
+        luu = jax.vmap(jax.hessian(cost, argnums=1))(xs[:-1], us, u_prev, ts)
+        lux = jax.vmap(jax.jacfwd(jax.grad(cost, argnums=1), argnums=0))(
+            xs[:-1], us, u_prev, ts
+        )
+        vx_T = jax.grad(term_cost)(xs[-1])
+        vxx_T = jax.hessian(term_cost)(xs[-1])
+        return fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T
+
+    def backward(fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T):
+        def bstep(carry, inp):
+            vx, vxx = carry
+            fx_t, fu_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+            qx = lx_t + fx_t.T @ vx
+            qu = lu_t + fu_t.T @ vx
+            qxx = lxx_t + fx_t.T @ vxx @ fx_t
+            quu = luu_t + fu_t.T @ vxx @ fu_t + reg * jnp.eye(nu)
+            qux = lux_t + fu_t.T @ vxx @ fx_t
+            k = -solve_psd(quu, qu)
+            K = -_solve_psd_mat(quu, qux)
+            vx_new = qx + K.T @ quu @ k + K.T @ qu + qux.T @ k
+            vxx_new = qxx + K.T @ quu @ K + K.T @ qux + qux.T @ K
+            vxx_new = 0.5 * (vxx_new + vxx_new.T)
+            return (vx_new, vxx_new), (k, K)
+
+        (_, _), (ks, Ks) = jax.lax.scan(
+            bstep, (vx_T, vxx_T), (fx, fu, lx, lu, lxx, luu, lux), reverse=True
+        )
+        return ks, Ks
+
+    def forward(xs, us, ks, Ks, alpha):
+        def fstep(x, inp):
+            x_bar, u_bar, k, K = inp
+            u = u_bar + alpha * k + K @ (x - x_bar)
+            xn = dyn(x, u)
+            return xn, (xn, u)
+
+        _, (xs_new, us_new) = jax.lax.scan(fstep, x0, (xs[:-1], us, ks, Ks))
+        xs_new = jnp.concatenate([x0[None], xs_new], axis=0)
+        u_prev = jnp.concatenate([us_new[:1], us_new[:-1]], axis=0)
+        c = total_cost(cost, term_cost, xs_new, us_new)
+        return xs_new, us_new, c
+
+    def iteration(carry, _):
+        xs, us, best_cost = carry
+        u_prev = jnp.concatenate([us[:1], us[:-1]], axis=0)
+        lin = linearize(xs, us, u_prev)
+        ks, Ks = backward(*lin)
+        # parallel line search: evaluate the whole alpha grid at once
+        xs_c, us_c, costs = jax.vmap(lambda a: forward(xs, us, ks, Ks, a))(alphas)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        i = jnp.argmin(costs)
+        improved = costs[i] < best_cost
+        xs = jnp.where(improved, xs_c[i], xs)
+        us = jnp.where(improved, us_c[i], us)
+        best_cost = jnp.minimum(costs[i], best_cost)
+        return (xs, us, best_cost), best_cost
+
+    xs0 = rollout(dyn, x0, u_init)
+    c0 = total_cost(cost, term_cost, xs0, u_init)
+    (xs, us, cost_final), trace = jax.lax.scan(
+        iteration, (xs0, u_init, c0), None, length=n_iters
+    )
+    return IlqrResult(xs, us, cost_final, jnp.concatenate([c0[None], trace]))

@@ -96,6 +96,47 @@ def crf(v, f):
     )
 
 
+def solve_psd(A, b):
+    """Solve A x = b for small SPD A (static n) via fully unrolled Cholesky.
+
+    Under vmap this becomes pure elementwise arithmetic over the batch —
+    orders of magnitude faster on TPU than `jnp.linalg.solve`'s pivoted LU
+    (measured 8.8ms -> <1ms for 6x6 at batch 4096 on v5e). Used for the ABA
+    floating-base solve (n=6) and the iLQR Q_uu solve (n=num_actions).
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+solve6_psd = solve_psd
+
+
 def spatial_inertia(mass, com, inertia_com):
     """Build the 6x6 spatial inertia of a body about its frame origin.
 

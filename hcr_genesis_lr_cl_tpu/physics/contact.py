@@ -53,12 +53,19 @@ def contact_forces(
     in_contact = pen > 0.0
 
     v_n = jnp.sum(vw * n, axis=-1)
-    f_n_mag = jnp.maximum(stiffness * pen - damping * v_n, 0.0) * in_contact
+    # damping capped at +-1x the spring force: an explicit integrator cannot
+    # pump energy through the damper within a substep, which is what allows
+    # stable stepping at few substeps
+    f_spring = stiffness * pen
+    f_damp = jnp.clip(-damping * v_n, -f_spring, f_spring)
+    f_n_mag = jnp.maximum(f_spring + f_damp, 0.0) * in_contact
     v_t = vw - v_n[:, None] * n
-    vt_norm = jnp.linalg.norm(v_t, axis=-1)
+    # smooth norm: differentiable at v_t = 0 (plain norm has a NaN gradient
+    # there, which would poison the MPC linearization of any standing state)
+    vt_norm = jnp.sqrt(jnp.sum(jnp.square(v_t), axis=-1) + 1e-8)
     # regularized Coulomb: full mu*Fn beyond friction_vel, linear (viscous) below
     f_t_mag = friction * f_n_mag * jnp.minimum(vt_norm / friction_vel, 1.0)
-    f_t = -f_t_mag[:, None] * v_t / (vt_norm[:, None] + 1e-6)
+    f_t = -f_t_mag[:, None] * v_t / vt_norm[:, None]
     f_w = f_n_mag[:, None] * n + f_t  # (ng, 3) world force on each sphere
 
     # to body-frame spatial forces about body origins

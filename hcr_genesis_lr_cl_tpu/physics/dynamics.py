@@ -91,14 +91,21 @@ def aba(
     f_ext: jnp.ndarray,  # (nb, 6) external spatial forces in *body* coords
     I_body: jnp.ndarray = None,  # optional per-env override (nb, 6, 6)
     armature: jnp.ndarray = None,  # optional per-env override (nj,)
+    d_implicit: jnp.ndarray = None,  # (nj,) dt*damping added to D (implicit damping)
 ):
     """Articulated-body algorithm (Featherstone).
+
+    `d_implicit`: adding dt*kd to the joint-space diagonal makes viscous/PD
+    damping implicit (MuJoCo's implicit-damping trick), which is what lets the
+    explicit integrator run stably at large substeps.
 
     Returns (a_base(6) in base coords, relative to the gravity field, qdd(nj,)).
     """
     nb, nj = model.nb, model.nj
     I_body = model.I_body if I_body is None else I_body
     armature = model.armature if armature is None else armature
+    if d_implicit is None:
+        d_implicit = jnp.zeros(nj)
     Ej, rj, S, v = kin.Ej, kin.rj, kin.S, kin.v_b
 
     # pass 1: velocity-product terms & bias forces
@@ -116,16 +123,16 @@ def aba(
         i = j + 1
         pi = model.parent[i]
         U[i] = IA[i] @ S[j]
-        D[i] = S[j] @ U[i] + armature[j]
+        D[i] = S[j] @ U[i] + armature[j] + d_implicit[j]
         u[i] = tau[j] - S[j] @ pA[i]
         Ia = IA[i] - jnp.outer(U[i], U[i]) / D[i]
         pa = pA[i] + Ia @ c[i] + U[i] * (u[i] / D[i])
         IA[pi] = IA[pi] + sp.xf_inertia_to_parent(Ej[j], rj[j], Ia)
         pA[pi] = pA[pi] + sp.xf_force_inv(Ej[j], rj[j], pa)
 
-    # floating base: 6x6 solve, accelerations relative to the gravity field
+    # floating base: 6x6 SPD solve, accelerations relative to the gravity field
     a = [jnp.zeros(6)] * nb
-    a[0] = -jnp.linalg.solve(IA[0] + 1e-9 * jnp.eye(6), pA[0])
+    a[0] = -sp.solve6_psd(IA[0], pA[0])
 
     # pass 3: outward acceleration sweep
     qdd = [None] * nj

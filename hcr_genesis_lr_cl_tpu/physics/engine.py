@@ -219,7 +219,7 @@ def step(
     )  # (N, 6, 6)
 
     fk = jax.vmap(dyn.forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))
-    aba_b = jax.vmap(dyn.aba, in_axes=(None, 0, 0, 0, 0, 0, 0))
+    aba_b = jax.vmap(dyn.aba, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))
     contact_b = jax.vmap(ct.contact_forces, in_axes=(None, None, 0, 0, None, None, None))
 
     def substep(carry, _):
@@ -239,9 +239,13 @@ def step(
         )
         I_body = jnp.broadcast_to(model.I_body, (st.q.shape[0],) + model.I_body.shape)
         I_body = I_body.at[:, 0].set(I_base)
+        # implicit damping diag: PD kd + passive damping (stabilizes the
+        # explicit integrator; see dynamics.aba)
+        kd_eff = dr.kd_scale[:, None] * gains.kd if gains.control_type == "P" else 0.0
+        d_imp = dt_sub * (kd_eff + damping) * jnp.ones_like(st.qd)
         a0, qdd = aba_b(
             model, kin, st.qd, tau + tau_passive + tau_limit, f_ext,
-            I_body, model.armature + dr.armature,
+            I_body, model.armature + dr.armature, d_imp,
         )
         bq, bp, vb, q, qd = jax.vmap(
             dyn.integrate, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)

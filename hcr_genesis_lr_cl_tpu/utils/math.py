@@ -118,11 +118,14 @@ def quat_to_rotmat(q):
 
 
 def quat_integrate(q, omega_body, dt):
-    """Integrate unit quat by body-frame angular velocity over dt (exp map)."""
-    angle = jnp.linalg.norm(omega_body, axis=-1, keepdims=True)
+    """Integrate unit quat by body-frame angular velocity over dt (exp map).
+
+    Uses a smoothed norm so the gradient at omega == 0 is finite (a plain
+    norm + where() still propagates NaN through the dead branch).
+    """
+    angle = jnp.sqrt(jnp.sum(jnp.square(omega_body), axis=-1, keepdims=True) + 1e-16)
     half = 0.5 * dt * angle
-    # sinc-safe axis*sin(half)
-    k = jnp.where(angle > 1e-8, jnp.sin(half) / jnp.maximum(angle, 1e-8), 0.5 * dt)
+    k = jnp.sin(half) / angle
     dq = jnp.concatenate([jnp.cos(half), omega_body * k], axis=-1)
     return normalize(quat_mul(q, dq))
 

@@ -1,0 +1,79 @@
+"""iLQR correctness tests: analytic LQR agreement + Go2 cost reduction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcr_genesis_lr_cl_tpu.mpc import ilqr
+
+
+class TestIlqrLQR:
+    def test_matches_analytic_lqr_double_integrator(self):
+        """For a linear system + quadratic cost, one iLQR iteration must reach
+        the LQR optimum."""
+        dt = 0.1
+        A = jnp.array([[1.0, dt], [0.0, 1.0]])
+        B = jnp.array([[0.0], [dt]])
+        Q = jnp.diag(jnp.array([1.0, 0.1]))
+        Rm = jnp.array([[0.01]])
+        T = 30
+
+        dyn = lambda x, u: A @ x + B @ u
+        cost = lambda x, u, up, t: x @ Q @ x + u @ Rm @ u
+        term = lambda x: 10.0 * (x @ Q @ x)
+        x0 = jnp.array([1.0, 0.0])
+
+        res = ilqr.ilqr_solve(dyn, cost, term, x0, jnp.zeros((T, 1)), n_iters=2,
+                              reg=1e-8)
+
+        # discrete-time Riccati reference (numpy)
+        P = 10.0 * np.asarray(Q)
+        Ks = []
+        An, Bn, Qn, Rn = map(np.asarray, (A, B, Q, Rm))
+        for _ in range(T):
+            K = np.linalg.solve(Rn + Bn.T @ P @ Bn, Bn.T @ P @ An)
+            P = Qn + An.T @ P @ (An - Bn @ K)
+            Ks.append(K)
+        Ks = Ks[::-1]
+        x = np.asarray(x0)
+        us_ref = []
+        for t in range(T):
+            u = -Ks[t] @ x
+            us_ref.append(u)
+            x = An @ x + (Bn @ u).ravel()
+        np.testing.assert_allclose(
+            np.asarray(res.us).ravel(), np.asarray(us_ref).ravel(), atol=2e-3
+        )
+
+    def test_cost_monotone_nonincreasing(self):
+        dt = 0.1
+        dyn = lambda x, u: jnp.stack([x[0] + dt * x[1], x[1] + dt * (u[0] - jnp.sin(x[0]))])
+        cost = lambda x, u, up, t: (x[0] - jnp.pi) ** 2 + 0.01 * u[0] ** 2
+        term = lambda x: 10 * ((x[0] - jnp.pi) ** 2 + x[1] ** 2)
+        res = ilqr.ilqr_solve(
+            dyn, cost, term, jnp.zeros(2), jnp.zeros((40, 1)), n_iters=15, reg=1e-6
+        )
+        trace = np.asarray(res.cost_trace)
+        assert np.all(np.diff(trace) <= 1e-5)
+        assert trace[-1] < 0.2 * trace[0]  # pendulum swing-up mostly solved
+
+
+class TestGo2Mpc:
+    @pytest.mark.slow
+    def test_go2_flat_single_scenario_cost_reduction(self):
+        """BASELINE config 1: Go2 flat, single scenario, short horizon (CPU)."""
+        from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+        from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+
+        env, mm = mb.make_go2_mpc(substeps=2)
+        w = mcosts.CostWeights()
+        solver = mb.make_solver(env, mm, w, horizon=10, n_iters=3)
+        x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
+        u0 = jnp.zeros((2, 10, env.model.nj))
+        res = solver(x0, params, u0)
+        c0 = np.asarray(res.cost_trace[:, 0])
+        cf = np.asarray(res.cost)
+        assert np.all(np.isfinite(cf))
+        assert np.all(cf <= c0 + 1e-5)
+        assert float(cf.mean()) < 0.9 * float(c0.mean())  # meaningful improvement
