@@ -72,6 +72,10 @@ class StepOut:
     done: jnp.ndarray  # bool
     time_out: jnp.ndarray  # bool (for timeout bootstrapping, ppo.py:111)
     metrics: dict  # scalar episode metrics (masked means over resets)
+    # variant observation bundle (the reference widens the step tuple per
+    # algorithm, legged_robot_ts.py:59-77 etc.; here it is a typed dict:
+    # "obs_history", "critic_obs", "estimator_labels", "next_obs", ...)
+    extras: dict = struct.field(default_factory=dict)
 
 
 class LeggedEnv:
@@ -135,8 +139,16 @@ class LeggedEnv:
             else [],
             dtype=np.int32,
         )
+        # contact-state links: only real (collapsed) bodies and kept sites, so
+        # that e.g. "calf" does not also count the merged calflower shells —
+        # matching the reference's post-merge link list
+        canonical = set(m.body_names) | set(m.site_names)
         self.contact_state_slots = np.asarray(
-            sorted(m.slots_named(cfg.asset.contact_state_link_names)), dtype=np.int32
+            sorted(
+                i for i in m.slots_named(cfg.asset.contact_state_link_names)
+                if m.slot_names[i] in canonical
+            ),
+            dtype=np.int32,
         )
         self.hip_dofs = np.asarray(m.dofs_named("hip"), dtype=np.int32)
 
@@ -536,7 +548,7 @@ class LeggedEnv:
             state = state.replace(measured_hts=mh)
 
         # ---- observations on the post-reset state (reference step order) ----
-        obs, priv = self.compute_observations(state, k_noise)
+        state, obs, priv, extras = self.observe(state, k_noise)
         clip_o = c.normalization.clip_observations
         obs = jnp.clip(obs, -clip_o, clip_o)
         if priv is not None:
@@ -546,8 +558,17 @@ class LeggedEnv:
 
         return state, StepOut(
             obs=obs, privileged_obs=priv, rew=rew, done=done, time_out=time_out,
-            metrics=metrics,
+            metrics=metrics, extras=extras,
         )
+
+    def observe(self, state: EnvState, key):
+        """Observation hook: returns (state', obs, privileged_obs, extras).
+
+        Variant tasks override to maintain history ring buffers in
+        `state.extra` and emit their widened observation bundle (the
+        reference's per-algorithm step tuples, legged_robot_ts.py:59-77)."""
+        obs, priv = self.compute_observations(state, key)
+        return state, obs, priv, {}
 
     # ------------------------------------------------------------------
     # helpers
@@ -864,7 +885,10 @@ class LeggedEnv:
     def _reward_hip_pos(self, ctx):
         if not len(self.hip_dofs):
             return jnp.zeros(self.num_envs)
-        hips = jnp.asarray(self.hip_dofs)
         return jnp.sum(
-            jnp.square(ctx.dof_pos[:, hips] - self.default_dof_pos[hips]), axis=-1
+            jnp.square(
+                ctx.dof_pos[:, jnp.asarray(self.hip_dofs)]
+                - jnp.asarray(self.default_dof_pos[self.hip_dofs])
+            ),
+            axis=-1,
         )

@@ -51,9 +51,15 @@ def make_env(name: str, cfg: LeggedRobotCfg | None = None, num_envs: int | None 
 
 
 def _register_builtin():
-    from hcr_genesis_lr_cl_tpu.envs.tasks import go2
+    from hcr_genesis_lr_cl_tpu.envs.tasks import go2, go2_rough
 
     register("go2", go2.Go2Env, go2.go2_flat_cfg, go2.go2_flat_train_cfg)
+    register("go2_ts", go2_rough.Go2TS, go2_rough.go2_ts_cfg, go2_rough.go2_ts_train_cfg)
+    register("go2_ee", go2_rough.Go2EE, go2_rough.go2_ee_cfg, go2_rough.go2_ee_train_cfg)
+    register("go2_cts", go2_rough.Go2CTS, go2_rough.go2_cts_cfg,
+             go2_rough.go2_cts_train_cfg)
+    register("go2_dreamwaq", go2_rough.Go2DreamWaQ, go2_rough.go2_dreamwaq_cfg,
+             go2_rough.go2_dreamwaq_train_cfg)
 
 
 _register_builtin()

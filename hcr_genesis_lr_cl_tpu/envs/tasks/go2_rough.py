@@ -1,0 +1,370 @@
+"""Go2 rough-terrain tasks: vanilla rough + Teacher-Student (TS).
+
+Reference: common_cfgs.py Go2RoughCommonCfg, go2_ts/go2_ts.py + config.
+Observation bundle (go2_ts.py:5-85):
+- actor obs (45, noisy) and its frame_stack-deep history ("obs_history")
+- critic obs = [obs(no-noise-needed; reference stacks the pre-noise buf),
+  dr_info(31), heights(81), contact_states, lin_vel(3)] x c_frame_stack
+- privileged obs (for the privilege encoder) = [dr_info, feet height patches,
+  feet normals, lin_vel, contact_states]
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import (
+    AlgorithmCfg, CommandsCfg, CommandRangesCfg, DomainRandCfg, EnvCfg,
+    LeggedRobotCfg, PolicyCfg, RewardScalesCfg, RewardsCfg, RunnerCfg,
+    TerrainCfg, TrainCfg,
+)
+from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState, LeggedEnv
+from hcr_genesis_lr_cl_tpu.envs.tasks import go2 as go2_task
+from hcr_genesis_lr_cl_tpu.physics import sensors
+
+
+def rough_terrain_cfg(**kw) -> TerrainCfg:
+    return TerrainCfg(
+        mesh_type="heightfield",
+        border_size=20.0,
+        curriculum=True,
+        obtain_terrain_info_around_feet=True,
+        measure_heights=True,
+        measured_points_x=tuple(np.round(np.arange(-0.4, 0.41, 0.1), 2)),
+        measured_points_y=tuple(np.round(np.arange(-0.4, 0.41, 0.1), 2)),
+        terrain_length=8.0,
+        terrain_width=8.0,
+        platform_size=4.0,
+        num_rows=10,
+        num_cols=10,
+        terrain_proportions=(0.2, 0.1, 0.25, 0.25, 0.2),
+        **kw,
+    )
+
+
+def rough_domain_rand() -> DomainRandCfg:
+    """go2_ts_config.py domain_rand section."""
+    return DomainRandCfg(
+        randomize_friction=True, friction_range=(0.2, 1.7),
+        randomize_base_mass=True, added_mass_range=(-1.0, 1.0),
+        push_robots=True, push_interval_s=10.0, max_push_vel_xy=1.0,
+        randomize_com_displacement=True,
+        com_pos_x_range=(-0.03, 0.03), com_pos_y_range=(-0.03, 0.03),
+        com_pos_z_range=(-0.03, 0.03),
+        randomize_pd_gain=True, kp_range=(0.8, 1.2), kd_range=(0.8, 1.2),
+    )
+
+
+def rough_rewards() -> RewardsCfg:
+    """Go2RoughCommonCfg.rewards (common_cfgs.py:105-129)."""
+    return RewardsCfg(
+        scales=RewardScalesCfg(
+            dof_pos_limits=-2.0, collision=-1.0,
+            tracking_lin_vel=1.0, tracking_ang_vel=0.5,
+            lin_vel_z=-2.0, ang_vel_xy=-0.05,
+            dof_power=-2.0e-4, dof_acc=-2.0e-7,
+            action_rate=-0.01, action_smoothness=-0.01,
+            feet_air_time=1.0, foot_clearance=0.2, hip_pos=-0.05,
+            feet_contact_stand_still=0.5,
+        ),
+        soft_dof_pos_limit=0.9,
+        foot_clearance_target=0.09,
+        foot_height_offset=0.022,
+        foot_clearance_tracking_sigma=0.01,
+        only_positive_rewards=True,
+    )
+
+
+def go2_rough_asset():
+    a = go2_task.go2_flat_asset()
+    return a.replace(
+        obtain_link_contact_states=True,
+        contact_state_link_names=("thigh", "calf", "foot", "base", "hip"),
+        penalize_contacts_on=("thigh", "calf", "base", "Head", "hip"),
+        terminate_after_contacts_on=(),
+    )
+
+
+NUM_SINGLE_OBS = 45
+FRAME_STACK = 20
+C_FRAME_STACK = 5
+
+
+def _dims(num_actions=12, num_heights=81, num_contact_states=17, num_feet=4):
+    dr_info = 1 + 1 + 3 + 2 + 2 * num_actions  # 31
+    priv = dr_info + 9 * num_feet + 3 * num_feet + 3 + num_contact_states
+    critic_single = NUM_SINGLE_OBS + dr_info + num_heights + num_contact_states + 3
+    return dr_info, priv, critic_single
+
+
+def go2_ts_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    _, priv, critic_single = _dims()
+    return LeggedRobotCfg(
+        env=EnvCfg(
+            num_envs=num_envs,
+            num_observations=NUM_SINGLE_OBS,
+            num_privileged_obs=priv,
+            num_actions=12,
+            env_spacing=0.5,
+            frame_stack=FRAME_STACK,
+            c_frame_stack=C_FRAME_STACK,
+            num_single_obs=NUM_SINGLE_OBS,
+            num_single_critic_obs=critic_single,
+        ),
+        terrain=rough_terrain_cfg(),
+        init_state=go2_task.go2_init_state(),
+        control=go2_task.go2_control(),
+        asset=go2_rough_asset(),
+        rewards=rough_rewards(),
+        commands=CommandsCfg(
+            curriculum=True, max_curriculum=1.0, resampling_time=10.0,
+            heading_command=True,
+            ranges=CommandRangesCfg(lin_vel_x=(-0.5, 0.5), lin_vel_y=(-1.0, 1.0)),
+        ),
+        domain_rand=rough_domain_rand(),
+    )
+
+
+def go2_ts_train_cfg() -> TrainCfg:
+    _, priv, critic_single = _dims()
+    return TrainCfg(
+        seed=1,
+        policy=PolicyCfg(
+            critic_hidden_dims=(1024, 256, 128),
+            privilege_encoder_hidden_dims=(256, 128),
+            history_encoder_hidden_dims=(256, 128),
+            history_encoder_type="mlp",
+            latent_dims=priv,
+        ),
+        algorithm=AlgorithmCfg(encoder_learning_rate=2.0e-4),
+        runner=RunnerCfg(
+            runner_class_name="TSRunner", experiment_name="go2_rough",
+            run_name="ts", save_interval=500, max_iterations=3000,
+        ),
+    )
+
+
+def _variant_train_cfg(runner_class, run_name, **alg_kw) -> TrainCfg:
+    _, priv, critic_single = _dims()
+    return TrainCfg(
+        seed=1,
+        policy=PolicyCfg(
+            critic_hidden_dims=(1024, 256, 128),
+            latent_dims=priv,
+            num_estimated_states=24,  # lin_vel(3)+contact_states(17)+foot_h(4)
+        ),
+        algorithm=AlgorithmCfg(encoder_learning_rate=2.0e-4, **alg_kw),
+        runner=RunnerCfg(
+            runner_class_name=runner_class, experiment_name="go2_rough",
+            run_name=run_name, save_interval=500, max_iterations=3000,
+        ),
+    )
+
+
+def go2_ee_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return go2_ts_cfg(num_envs)
+
+
+def go2_ee_train_cfg() -> TrainCfg:
+    return _variant_train_cfg("EERunner", "ee")
+
+
+def go2_cts_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return go2_ts_cfg(num_envs)
+
+
+def go2_cts_train_cfg() -> TrainCfg:
+    # num_teacher = 3/4 of the env batch (go2_cts_config.py)
+    return _variant_train_cfg("CTSRunner", "cts", num_teacher=0)
+
+
+def go2_dreamwaq_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return go2_ts_cfg(num_envs)
+
+
+def go2_dreamwaq_train_cfg() -> TrainCfg:
+    cfg = _variant_train_cfg("DreamWaQRunner", "dreamwaq")
+    return cfg.replace(policy=cfg.policy.replace(vae_latent_dims=16))
+
+
+class Go2Rough(go2_task.Go2Env):
+    """Vanilla rough-terrain Go2 (heights appended to the 45-dim obs)."""
+
+
+class Go2TS(go2_task.Go2Env):
+    """Teacher-student obs plumbing (reference legged_robot_ts.py + go2_ts.py)."""
+
+    def __init__(self, cfg, robot, terrain_seed: int = 0):
+        super().__init__(cfg, robot, terrain_seed)
+        self.frame_stack = cfg.env.frame_stack
+        self.c_frame_stack = cfg.env.c_frame_stack
+        self.num_single_obs = cfg.env.num_single_obs or cfg.env.num_observations
+        self.num_single_critic_obs = cfg.env.num_single_critic_obs
+        self.kp_offset = 0.5 * (cfg.domain_rand.kp_range[0] + cfg.domain_rand.kp_range[1])
+        self.kd_offset = 0.5 * (cfg.domain_rand.kd_range[0] + cfg.domain_rand.kd_range[1])
+        self.friction_offset = 0.5 * (
+            cfg.domain_rand.friction_range[0] + cfg.domain_rand.friction_range[1]
+        )
+
+    # ---- building blocks ----
+
+    def dr_info(self, state: EnvState):
+        """(N, 31): normalized DR values (go2_ts.py:16-26)."""
+        uidx = jnp.asarray(self.model.user_dof_idx)
+        return jnp.concatenate(
+            [
+                (state.dr.friction - self.friction_offset)[:, None],
+                state.dr.added_mass[:, None],
+                state.dr.com_bias,
+                state.dr.push_vel[:, :2],
+                state.dr.kp_scale[:, uidx] - self.kp_offset,
+                state.dr.kd_scale[:, uidx] - self.kd_offset,
+            ],
+            axis=-1,
+        )
+
+    def link_contact_states(self, state: EnvState):
+        f = state.sim_out.link_contact_forces[:, jnp.asarray(self.contact_state_slots)]
+        return (jnp.linalg.norm(f, axis=-1) > 1.0).astype(jnp.float32)
+
+    def feet_terrain_obs(self, state: EnvState):
+        """Feet 9-pt relative height patches + normals (go2_ts.py:69-72)."""
+        hgrid, normals = sensors.feet_terrain_info(self.terrain, state.sim_out.feet_pos)
+        rel = jnp.clip(state.sim_out.feet_pos[:, :, 2:3] - hgrid, -1.0, 1.0)
+        n = rel.shape[0]
+        return rel.reshape(n, -1), normals.reshape(n, -1)
+
+    def single_obs(self, state: EnvState, key):
+        """Noisy 45-dim actor obs + its pre-noise version."""
+        c = self.cfg
+        s = c.normalization.obs_scales
+        out = state.sim_out
+        cmd_scale = jnp.array([s.lin_vel, s.lin_vel, s.ang_vel])
+        clean = jnp.concatenate(
+            [
+                state.commands[:, :3] * cmd_scale,
+                out.projected_gravity,
+                out.base_ang_vel * s.ang_vel,
+                (self.dof_pos_user(state) - self.default_dof_pos) * s.dof_pos,
+                self.dof_vel_user(state) * s.dof_vel,
+                state.actions,
+            ],
+            axis=-1,
+        )
+        noisy = clean
+        if c.noise.add_noise:
+            noisy = clean + (
+                jax.random.uniform(key, clean.shape, minval=-1.0, maxval=1.0)
+                * jnp.asarray(self.noise_vec[: clean.shape[-1]])
+            )
+        return noisy, clean
+
+    def critic_single(self, state: EnvState, clean_obs):
+        s = self.cfg.normalization.obs_scales
+        parts = [
+            clean_obs,
+            self.dr_info(state),
+            self.height_obs(state),
+            self.link_contact_states(state),
+            state.sim_out.base_lin_vel * s.lin_vel,
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
+    def privileged_single(self, state: EnvState):
+        s = self.cfg.normalization.obs_scales
+        rel, normals = self.feet_terrain_obs(state)
+        return jnp.concatenate(
+            [
+                self.dr_info(state),
+                rel,
+                normals,
+                state.sim_out.base_lin_vel * s.lin_vel,
+                self.link_contact_states(state),
+            ],
+            axis=-1,
+        )
+
+    # ---- history carry ----
+
+    def init_extra(self, n: int) -> dict:
+        return {
+            "obs_history": jnp.zeros((n, self.frame_stack, self.num_single_obs)),
+            "critic_history": jnp.zeros(
+                (n, self.c_frame_stack, self.num_single_critic_obs)
+            ),
+        }
+
+    def reset_extra(self, state: EnvState, mask) -> dict:
+        w = lambda z: jnp.where(mask[:, None, None], jnp.zeros_like(z), z)
+        return {
+            "obs_history": w(state.extra["obs_history"]),
+            "critic_history": w(state.extra["critic_history"]),
+        }
+
+    def observe(self, state: EnvState, key):
+        noisy, clean = self.single_obs(state, key)
+        critic = self.critic_single(state, clean)
+        priv = self.privileged_single(state)
+        # ring shift (deque append; oldest first like torch.cat over deque)
+        oh = jnp.concatenate(
+            [state.extra["obs_history"][:, 1:], noisy[:, None]], axis=1
+        )
+        ch = jnp.concatenate(
+            [state.extra["critic_history"][:, 1:], critic[:, None]], axis=1
+        )
+        state = state.replace(
+            extra={**state.extra, "obs_history": oh, "critic_history": ch}
+        )
+        n = noisy.shape[0]
+        extras = {
+            "obs_history": oh.reshape(n, -1),
+            "critic_obs": ch.reshape(n, -1),
+        }
+        extras.update(self.extra_observations(state, noisy, clean))
+        return state, noisy, priv, extras
+
+    def extra_observations(self, state: EnvState, noisy, clean) -> dict:
+        """Hook for EE/DreamWaQ supervision targets."""
+        return {}
+
+    def estimator_labels(self, state: EnvState):
+        """EE labels: [lin_vel(3), link contact states, per-foot height above
+        terrain] (reference legged_robot_ee.py:17-24)."""
+        s = self.cfg.normalization.obs_scales
+        foot_h = state.sim_out.feet_pos[:, :, 2] - self.terrain.height(
+            state.sim_out.feet_pos[:, :, 0], state.sim_out.feet_pos[:, :, 1]
+        )
+        return jnp.concatenate(
+            [
+                state.sim_out.base_lin_vel * s.lin_vel,
+                self.link_contact_states(state),
+                jnp.clip(foot_h, -1.0, 1.0),
+            ],
+            axis=-1,
+        )
+
+
+class Go2EE(Go2TS):
+    """Explicit-estimator task (reference go2_ee/go2_ee.py)."""
+
+    def extra_observations(self, state, noisy, clean):
+        return {"estimator_labels": self.estimator_labels(state)}
+
+
+class Go2CTS(Go2TS):
+    """Concurrent teacher-student task (reference go2_cts/go2_cts.py) —
+    identical observation bundle to TS; the teacher/student split is a batch
+    mask handled by the CTS runner."""
+
+
+class Go2DreamWaQ(Go2TS):
+    """DreamWaQ task (reference go2_dreamwaq/go2_dreamwaq.py): adds the
+    next-obs decoder target and explicit labels."""
+
+    def extra_observations(self, state, noisy, clean):
+        return {
+            "explicit_labels": self.estimator_labels(state),
+            "next_obs": clean,
+        }

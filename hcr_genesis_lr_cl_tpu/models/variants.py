@@ -1,0 +1,313 @@
+"""Variant policy networks: TS, EE, CTS, DreamWaQ-VAE, TCN history encoder.
+
+Reference: rsl_rl/modules/actor_critic_ts.py, actor_critic_ee.py,
+actor_critic_cts.py, actor_critic_dreamwaq.py, vae.py. Same architectures,
+flax.linen; every module exposes pure apply paths instead of the reference's
+stateful distribution caching.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hcr_genesis_lr_cl_tpu.models.networks import _ACTIVATIONS, MLP
+
+
+class TCNEncoder(nn.Module):
+    """Dilated/strided Conv1d stack over the flat obs-history vector
+    (reference actor_critic_ts.py:79-101 treats the flattened history as a
+    1-channel sequence)."""
+
+    out_dim: int
+    channel_dims: Sequence[int] = (1, 1, 1, 1)
+    dilations: Sequence[int] = (1, 1, 2, 1)
+    strides: Sequence[int] = (1, 2, 1, 2)
+    kernel_size: int = 5
+    final_layer_dim: int = 128
+    activation: str = "elu"
+
+    @nn.compact
+    def __call__(self, x):
+        act = _ACTIVATIONS[self.activation]
+        h = x[..., None]  # (batch, length, channels=1)
+        for ch, dil, st in zip(self.channel_dims, self.dilations, self.strides):
+            pad = dil * (self.kernel_size - 1) // 2
+            h = nn.Conv(
+                features=ch, kernel_size=(self.kernel_size,), strides=(st,),
+                kernel_dilation=(dil,), padding=[(pad, pad)],
+            )(h)
+        h = h.reshape(h.shape[:-2] + (-1,))
+        h = act(nn.Dense(self.final_layer_dim)(h))
+        return nn.Dense(self.out_dim)(h)
+
+
+def _history_encoder(p, latent_dims):
+    if p.history_encoder_type.lower() == "tcn":
+        return TCNEncoder(out_dim=latent_dims, activation=p.activation)
+    return MLP(p.history_encoder_hidden_dims, latent_dims, p.activation)
+
+
+class ActorCriticTS(nn.Module):
+    """Teacher-student: actor(obs + latent); latent from privilege encoder
+    (teacher) or history encoder (student)."""
+
+    num_actions: int
+    latent_dims: int
+    actor_hidden_dims: Sequence[int] = (512, 256, 128)
+    critic_hidden_dims: Sequence[int] = (1024, 256, 128)
+    privilege_encoder_hidden_dims: Sequence[int] = (256, 128)
+    history_encoder_hidden_dims: Sequence[int] = (256, 128)
+    history_encoder_type: str = "mlp"
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.privilege_encoder = MLP(
+            self.privilege_encoder_hidden_dims, self.latent_dims, self.activation
+        )
+        if self.history_encoder_type.lower() == "tcn":
+            self.history_encoder = TCNEncoder(
+                out_dim=self.latent_dims, activation=self.activation
+            )
+        else:
+            self.history_encoder = MLP(
+                self.history_encoder_hidden_dims, self.latent_dims, self.activation
+            )
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.log_std = self.param(
+            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
+        )
+
+    def __call__(self, obs, privileged_obs, obs_history, critic_obs):
+        m = self.act_teacher(obs, privileged_obs)
+        v = self.value(critic_obs)
+        s = self.act_student(obs, obs_history)
+        e = self.encode_history(obs_history)
+        return m, v, s, e, self.log_std
+
+    def encode_privilege(self, privileged_obs):
+        return self.privilege_encoder(privileged_obs)
+
+    def encode_history(self, obs_history):
+        return self.history_encoder(obs_history)
+
+    def act_teacher(self, obs, privileged_obs):
+        latent = self.privilege_encoder(privileged_obs)
+        return self.actor(jnp.concatenate([obs, latent], axis=-1))
+
+    def act_student(self, obs, obs_history):
+        latent = self.history_encoder(obs_history)
+        return self.actor(jnp.concatenate([obs, latent], axis=-1))
+
+    def value(self, critic_obs):
+        return self.critic(critic_obs)[..., 0]
+
+
+class ActorCriticEE(nn.Module):
+    """Explicit estimator: actor(obs_history + estimator(obs_history))
+    (reference actor_critic_ee.py:113-140)."""
+
+    num_actions: int
+    num_estimated_states: int
+    actor_hidden_dims: Sequence[int] = (512, 256, 128)
+    critic_hidden_dims: Sequence[int] = (1024, 256, 128)
+    estimator_hidden_dims: Sequence[int] = (256, 128)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.estimator = MLP(
+            self.estimator_hidden_dims, self.num_estimated_states, self.activation
+        )
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.log_std = self.param(
+            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
+        )
+
+    def __call__(self, features, critic_obs):
+        return self.act_mean(features), self.value(critic_obs), self.log_std
+
+    def estimate(self, features):
+        return self.estimator(features)
+
+    def act_mean(self, features, stop_estimator_grad: bool = True):
+        est = self.estimator(features)
+        if stop_estimator_grad:
+            # reference excludes estimator params from the actor optimizer
+            # (ppo_ee.py:61-65); stop_gradient has the same applied effect
+            est = jax.lax.stop_gradient(est)
+        return self.actor(jnp.concatenate([features, est], axis=-1))
+
+    def value(self, critic_obs):
+        return self.critic(critic_obs)[..., 0]
+
+
+class ActorCriticCTS(nn.Module):
+    """Concurrent teacher-student: shared actor, latent source switched per
+    env slice (reference actor_critic_cts.py:162-200)."""
+
+    num_actions: int
+    latent_dims: int
+    actor_hidden_dims: Sequence[int] = (512, 256, 128)
+    critic_hidden_dims: Sequence[int] = (1024, 256, 128)
+    privilege_encoder_hidden_dims: Sequence[int] = (256, 128)
+    history_encoder_hidden_dims: Sequence[int] = (256, 128)
+    history_encoder_type: str = "mlp"
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.privilege_encoder = MLP(
+            self.privilege_encoder_hidden_dims, self.latent_dims, self.activation
+        )
+        if self.history_encoder_type.lower() == "tcn":
+            self.history_encoder = TCNEncoder(
+                out_dim=self.latent_dims, activation=self.activation
+            )
+        else:
+            self.history_encoder = MLP(
+                self.history_encoder_hidden_dims, self.latent_dims, self.activation
+            )
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.log_std = self.param(
+            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
+        )
+
+    def __call__(self, obs, privileged_obs, obs_history, critic_obs, teacher_mask):
+        m = self.act_mixed(obs, privileged_obs, obs_history, teacher_mask)
+        return m, self.value(critic_obs), self.log_std
+
+    def encode_privilege(self, privileged_obs):
+        return self.privilege_encoder(privileged_obs)
+
+    def encode_history(self, obs_history):
+        return self.history_encoder(obs_history)
+
+    def act_mixed(self, obs, privileged_obs, obs_history, teacher_mask):
+        """teacher_mask (N,) bool: True -> privilege latent, False -> history."""
+        lt = self.privilege_encoder(privileged_obs)
+        ls = self.history_encoder(obs_history)
+        latent = jnp.where(teacher_mask[..., None], lt, ls)
+        return self.actor(jnp.concatenate([obs, latent], axis=-1))
+
+    def act_teacher(self, obs, privileged_obs):
+        latent = self.privilege_encoder(privileged_obs)
+        return self.actor(jnp.concatenate([obs, latent], axis=-1))
+
+    def act_student(self, obs, obs_history):
+        latent = self.history_encoder(obs_history)
+        return self.actor(jnp.concatenate([obs, latent], axis=-1))
+
+    def value(self, critic_obs):
+        return self.critic(critic_obs)[..., 0]
+
+
+class VAE(nn.Module):
+    """beta-VAE with explicit velocity head (reference vae.py)."""
+
+    latent_dims: int
+    explicit_dims: int
+    decoder_out_dim: int
+    encoder_hidden_dims: Sequence[int] = (256, 128)
+    decoder_hidden_dims: Sequence[int] = (128, 256)
+    activation: str = "elu"
+
+    def setup(self):
+        head = 2 * self.latent_dims + 2 * self.explicit_dims
+        self.encoder = MLP(
+            self.encoder_hidden_dims, head, self.activation, final_activation=self.activation
+        )
+        self.latent_mu_l = nn.Dense(self.latent_dims)
+        self.latent_var_l = nn.Dense(self.latent_dims)
+        self.vel_mu_l = nn.Dense(self.explicit_dims)
+        self.vel_var_l = nn.Dense(self.explicit_dims)
+        self.decoder = MLP(self.decoder_hidden_dims, self.decoder_out_dim, self.activation)
+
+    def encode(self, obs_history):
+        h = self.encoder(obs_history)
+        latent_mu = self.latent_mu_l(h)
+        latent_logvar = jnp.clip(self.latent_var_l(h), -5.0, 5.0)
+        vel_mu = self.vel_mu_l(h)
+        vel_logvar = jnp.clip(self.vel_var_l(h), -5.0, 5.0)
+        return latent_mu, latent_logvar, vel_mu, vel_logvar
+
+    def decode(self, z, v):
+        return self.decoder(jnp.concatenate([z, v], axis=-1))
+
+    def __call__(self, obs_history, rng):
+        lm, lv, vm, vv = self.encode(obs_history)
+        k1, k2 = jax.random.split(rng)
+        z = lm + jnp.exp(0.5 * lv) * jax.random.normal(k1, lm.shape)
+        vel = vm + jnp.exp(0.5 * vv) * jax.random.normal(k2, vm.shape)
+        return (z, vel), (lm, lv, vm, vv)
+
+    def inference(self, obs_history):
+        lm, lv, vm, vv = self.encode(obs_history)
+        return jnp.concatenate([lm, vm], axis=-1)
+
+
+class ActorCriticDreamWaQ(nn.Module):
+    """Actor(obs + [z, v_hat]) with VAE-encoded history (actor_critic_dreamwaq.py)."""
+
+    num_actions: int
+    vae_latent_dims: int
+    num_explicit: int
+    decoder_out_dim: int
+    actor_hidden_dims: Sequence[int] = (512, 256, 128)
+    critic_hidden_dims: Sequence[int] = (1024, 256, 128)
+    vae_encoder_hidden_dims: Sequence[int] = (256, 128)
+    vae_decoder_hidden_dims: Sequence[int] = (128, 256)
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.vae = VAE(
+            latent_dims=self.vae_latent_dims,
+            explicit_dims=self.num_explicit,
+            decoder_out_dim=self.decoder_out_dim,
+            encoder_hidden_dims=self.vae_encoder_hidden_dims,
+            decoder_hidden_dims=self.vae_decoder_hidden_dims,
+            activation=self.activation,
+        )
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.log_std = self.param(
+            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
+        )
+
+    def __call__(self, obs, obs_history, critic_obs, rng):
+        m, (z, vel), _ = self.act_sampled(obs, obs_history, rng)
+        recon = self.vae.decode(z, vel)  # touch the decoder so init creates it
+        return m, self.value(critic_obs), self.log_std, recon
+
+    def act_sampled(self, obs, obs_history, rng):
+        (z, vel), params = self.vae(obs_history, rng)
+        lat = jax.lax.stop_gradient(jnp.concatenate([z, vel], axis=-1))
+        return self.actor(jnp.concatenate([obs, lat], axis=-1)), (z, vel), params
+
+    def act_inference(self, obs, obs_history):
+        lat = self.vae.inference(obs_history)
+        return self.actor(jnp.concatenate([obs, lat], axis=-1))
+
+    def vae_losses(self, obs_history, explicit_labels, next_obs, rng, mask=None):
+        """Per-batch VAE losses, each masked by `mask` (1 = valid transition,
+        the reference's `terminated` masking, ppo_dreamwaq.py:221-236)."""
+        (z, vel), (lm, lv, vm, vv) = self.vae(obs_history, rng)
+        recon = self.vae.decode(z, vel)
+        m = jnp.ones(obs_history.shape[:-1]) if mask is None else mask
+        recon_loss = jnp.mean(m * jnp.sum(jnp.square(recon - next_obs), axis=-1))
+        explicit_loss = jnp.mean(m * jnp.sum(jnp.square(vel - explicit_labels), axis=-1))
+        kld = -0.5 * jnp.mean(
+            m * jnp.sum(1 + lv - jnp.square(lm) - jnp.exp(lv), axis=-1)
+        )
+        return recon_loss, explicit_loss, kld
+
+    def value(self, critic_obs):
+        return self.critic(critic_obs)[..., 0]

@@ -47,8 +47,8 @@ class DrParams:
     friction: jnp.ndarray  # (N,) ground friction coefficient (absolute)
     added_mass: jnp.ndarray  # (N,)
     com_bias: jnp.ndarray  # (N, 3)
-    kp_scale: jnp.ndarray  # (N,)
-    kd_scale: jnp.ndarray  # (N,)
+    kp_scale: jnp.ndarray  # (N, nj) per-dof (reference _kp_scale is per-dof)
+    kd_scale: jnp.ndarray  # (N, nj)
     armature: jnp.ndarray  # (N, nj) topo order, added to model armature
     joint_damping: jnp.ndarray  # (N, nj)
     joint_friction: jnp.ndarray  # (N, nj)
@@ -134,8 +134,14 @@ def sample_dr(key, model: RobotModel, cfg: DomainRandCfg, terrain_friction: floa
         if cfg.randomize_com_displacement
         else jnp.zeros((n, 3))
     )
-    kp_scale = u(ks[5], *cfg.kp_range, (n,)) if cfg.randomize_pd_gain else jnp.ones(n)
-    kd_scale = u(ks[5], *cfg.kd_range, (n,)) if cfg.randomize_pd_gain else jnp.ones(n)
+    kp_scale = (
+        u(ks[5], *cfg.kp_range, (n, nj)) if cfg.randomize_pd_gain else jnp.ones((n, nj))
+    )
+    kd_scale = (
+        u(jax.random.fold_in(ks[5], 1), *cfg.kd_range, (n, nj))
+        if cfg.randomize_pd_gain
+        else jnp.ones((n, nj))
+    )
     armature = (
         u(ks[6], *cfg.joint_armature_range, (n, 1)) * jnp.ones((1, nj))
         if cfg.randomize_joint_armature
@@ -189,11 +195,11 @@ def compute_torques(
     """PD torque law (reference genesis_simulator.py:630-642), topo order, batched."""
     if gains.control_type == "P":
         target = action_topo * gains.action_scale + gains.default_dof_pos
-        tau = dr.kp_scale[:, None] * gains.kp * (target - q_topo) - (
-            dr.kd_scale[:, None] * gains.kd * qd_topo
+        tau = dr.kp_scale * gains.kp * (target - q_topo) - (
+            dr.kd_scale * gains.kd * qd_topo
         )
     elif gains.control_type == "V":
-        tau = dr.kp_scale[:, None] * gains.kp * (action_topo * gains.action_scale - qd_topo)
+        tau = dr.kp_scale * gains.kp * (action_topo * gains.action_scale - qd_topo)
     else:  # T
         tau = action_topo * gains.action_scale
     return jnp.clip(tau, -model.effort_limit, model.effort_limit)
@@ -241,7 +247,7 @@ def step(
         I_body = I_body.at[:, 0].set(I_base)
         # implicit damping diag: PD kd + passive damping (stabilizes the
         # explicit integrator; see dynamics.aba)
-        kd_eff = dr.kd_scale[:, None] * gains.kd if gains.control_type == "P" else 0.0
+        kd_eff = dr.kd_scale * gains.kd if gains.control_type == "P" else 0.0
         d_imp = dt_sub * (kd_eff + damping) * jnp.ones_like(st.qd)
         a0, qdd = aba_b(
             model, kin, st.qd, tau + tau_passive + tau_limit, f_ext,

@@ -37,12 +37,9 @@ def feet_terrain_info(terrain: TerrainField, feet_pos):
     """
     x, y = feet_pos[..., 0], feet_pos[..., 1]
     hs = terrain.horizontal_scale
-    offsets = jnp.asarray(
-        [(-1, 0), (1, 0), (0, -1), (0, 1), (0, 0), (-1, -1), (1, 1), (-1, 1), (1, -1)],
-        dtype=jnp.float32,
-    )
+    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1), (0, 0), (-1, -1), (1, 1), (-1, 1), (1, -1)]
     hgrid = jnp.stack(
-        [terrain.height(x + ox * hs, y + oy * hs) for ox, oy in np.asarray(offsets)],
+        [terrain.height(x + ox * hs, y + oy * hs) for ox, oy in offsets],
         axis=-1,
     )  # (N, nf, 9)
     dx = (hgrid[..., 1] - hgrid[..., 0]) / (2 * hs)

@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 
 
-def compute_gae(rewards, values, dones, time_outs, last_values, gamma, lam):
+def compute_gae(rewards, values, dones, time_outs, last_values, gamma, lam,
+                normalize=True):
     """All inputs time-major (T, N); returns (returns, advantages) (T, N).
 
     Advantages are normalized with the global (all T*N) mean/std — under a
@@ -37,5 +38,6 @@ def compute_gae(rewards, values, dones, time_outs, last_values, gamma, lam):
         reverse=True,
     )
     returns = advs + values
-    norm_advs = (advs - advs.mean()) / (advs.std() + 1e-8)
-    return returns, norm_advs
+    if normalize:
+        advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+    return returns, advs

@@ -6,10 +6,15 @@ quadratic penalty (:180-191), adaptive-KL LR with x1.5 steps bounded to
 clipped value loss (:208-218), minibatching by randperm over T*N
 (rollout_storage.py:148-184), 5 epochs x 4 minibatches.
 
-TPU-native inversions: the whole update (epochs x minibatches) is a
-lax.scan inside one jit; the optimizer is optax.adam behind
-inject_hyperparams so the adaptive LR is a traced value, not a Python-side
-mutation.
+TPU-native inversions: the whole update (epochs x minibatches) is a lax.scan
+inside one jit; the optimizer is optax.adam behind inject_hyperparams so the
+adaptive LR is a traced value.
+
+Variants (TS/EE/CTS/DreamWaQ, rl/variants.py) override `policy_mean_value`
+(how the actor/critic read the observation *bundle*) and `extra_update`
+(their supervised phases). The bundle is a flat dict of per-env arrays; the
+rollout stores it time-major and the update flattens/gathers it uniformly —
+this replaces the reference's five parallel RolloutStorage* classes.
 """
 
 from __future__ import annotations
@@ -29,16 +34,16 @@ from hcr_genesis_lr_cl_tpu.models import networks as nets
 class PPOState:
     params: dict
     opt_state: optax.OptState
+    extra_opt_state: object  # variant optimizers (None for vanilla)
     lr: jnp.ndarray  # () adaptive learning rate
     rng: jnp.ndarray
 
 
 @struct.dataclass
 class Transition:
-    """One rollout step, time-major batched to (T, N, ...) by the runner."""
+    """One rollout step, time-major stacked to (T, N, ...) by the runner."""
 
-    obs: jnp.ndarray
-    critic_obs: jnp.ndarray
+    bundle: dict  # observation bundle: obs, critic_obs, variant extras
     actions: jnp.ndarray
     rewards: jnp.ndarray
     dones: jnp.ndarray
@@ -60,38 +65,67 @@ class PPO:
             optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
         )
 
-    def init(self, key, obs_dim: int, critic_obs_dim: int) -> PPOState:
-        k1, k2 = jax.random.split(key)
-        params = self.net.init(
-            k1, jnp.zeros((1, obs_dim)), jnp.zeros((1, critic_obs_dim))
-        )
-        return PPOState(
-            params=params,
-            opt_state=self.tx.init(params),
-            lr=jnp.float32(self.cfg.learning_rate),
-            rng=k2,
-        )
+    # ---- hooks overridden by variants ----
 
-    def act(self, params, key, obs, critic_obs):
-        mean, value, log_std = self.net.apply(params, obs, critic_obs)
-        action = nets.sample_action(key, mean, log_std)
-        logp = nets.gaussian_log_prob(mean, log_std, action)
-        return action, logp, value, mean, log_std
+    def example_bundle(self, dims: Dict[str, int]):
+        return {
+            "obs": jnp.zeros((1, dims["obs"])),
+            "critic_obs": jnp.zeros((1, dims["critic_obs"])),
+        }
+
+    def init_params(self, key, bundle):
+        return self.net.init(key, bundle["obs"], bundle["critic_obs"])
+
+    def policy_mean_value(self, params, bundle, key=None):
+        """Returns (action_mean, value, log_std) from the obs bundle."""
+        mean, value, log_std = self.net.apply(
+            params, bundle["obs"], bundle["critic_obs"]
+        )
+        return mean, value, log_std
+
+    def init_extra_opt(self, params):
+        return None
+
+    def extra_update(self, st: "PPOState", flat: dict, key) -> Tuple["PPOState", Dict]:
+        """Variant supervised phases (encoder/estimator/VAE); vanilla: no-op."""
+        return st, {}
 
     def act_inference(self, params, obs):
         return self.net.apply(params, obs, method=self.net.act_mean)
 
-    # ------------------------------------------------------------------
+    # ---- common machinery ----
 
-    def _loss(self, params, mb, lr_unused):
+    def init(self, key, dims: Dict[str, int]) -> PPOState:
+        k1, k2 = jax.random.split(key)
+        params = self.init_params(k1, self.example_bundle(dims))
+        return PPOState(
+            params=params,
+            opt_state=self.tx.init(params),
+            extra_opt_state=self.init_extra_opt(params),
+            lr=jnp.float32(self.cfg.learning_rate),
+            rng=k2,
+        )
+
+    def act(self, params, key, bundle):
+        k_sample, k_policy = jax.random.split(key)
+        mean, value, log_std = self.policy_mean_value(params, bundle, k_policy)
+        action = nets.sample_action(k_sample, mean, log_std)
+        logp = nets.gaussian_log_prob(mean, log_std, action)
+        return action, logp, value, mean, log_std
+
+    def value_only(self, params, bundle):
+        return self.net.apply(params, bundle["critic_obs"], method=self.net.value)
+
+    def _loss(self, params, mb, key):
         cfg = self.cfg
-        mean, value, log_std = self.net.apply(params, mb["obs"], mb["critic_obs"])
+        mean, value, log_std = self.policy_mean_value(params, mb, key)
         logp = nets.gaussian_log_prob(mean, log_std, mb["actions"])
         ratio = jnp.exp(logp - mb["log_probs"])
         adv = mb["advantages"]
         if cfg.use_spo:
             surrogate = -jnp.mean(
-                adv * ratio - jnp.abs(adv) * jnp.square(ratio - 1.0) / (2.0 * cfg.clip_param)
+                adv * ratio
+                - jnp.abs(adv) * jnp.square(ratio - 1.0) / (2.0 * cfg.clip_param)
             )
         else:
             s1 = -adv * ratio
@@ -103,16 +137,15 @@ class PPO:
             )
             value_loss = jnp.mean(
                 jnp.maximum(
-                    jnp.square(value - mb["returns"]), jnp.square(v_clip - mb["returns"])
+                    jnp.square(value - mb["returns"]),
+                    jnp.square(v_clip - mb["returns"]),
                 )
             )
         else:
             value_loss = jnp.mean(jnp.square(mb["returns"] - value))
         entropy = jnp.mean(nets.gaussian_entropy(log_std))
         loss = surrogate + cfg.value_loss_coef * value_loss - cfg.entropy_coef * entropy
-        kl = jnp.mean(
-            nets.gaussian_kl(mb["means"], mb["log_stds"], mean, log_std)
-        )
+        kl = jnp.mean(nets.gaussian_kl(mb["means"], mb["log_stds"], mean, log_std))
         return loss, (surrogate, value_loss, entropy, kl)
 
     def _adapt_lr(self, lr, kl):
@@ -126,48 +159,54 @@ class PPO:
             jnp.where((kl < cfg.desired_kl / 2.0) & (kl > 0.0), inc, lr),
         )
 
-    def update(self, st: PPOState, batch: Transition, returns, advantages) -> Tuple[PPOState, Dict]:
-        """Epochs x minibatches over the flattened (T*N) rollout."""
-        cfg = self.cfg
+    def flatten_batch(self, batch: Transition, returns, advantages):
         T, N = batch.rewards.shape
         total = T * N
+        flat = {k: v.reshape(total, *v.shape[2:]) for k, v in batch.bundle.items()}
+        flat.update(
+            actions=batch.actions.reshape(total, -1),
+            values=batch.values.reshape(total),
+            log_probs=batch.log_probs.reshape(total),
+            means=batch.means.reshape(total, -1),
+            log_stds=batch.log_stds.reshape(total, -1),
+            returns=returns.reshape(total),
+            advantages=advantages.reshape(total),
+            terminated=1.0 - batch.dones.reshape(total).astype(jnp.float32),
+        )
+        return flat, total
+
+    def update(self, st: PPOState, batch: Transition, returns, advantages) -> Tuple[PPOState, Dict]:
+        cfg = self.cfg
+        flat, total = self.flatten_batch(batch, returns, advantages)
         mb_size = total // cfg.num_mini_batches
-        flat = {
-            "obs": batch.obs.reshape(total, -1),
-            "critic_obs": batch.critic_obs.reshape(total, -1),
-            "actions": batch.actions.reshape(total, -1),
-            "values": batch.values.reshape(total),
-            "log_probs": batch.log_probs.reshape(total),
-            "means": batch.means.reshape(total, -1),
-            "log_stds": batch.log_stds.reshape(total, -1),
-            "returns": returns.reshape(total),
-            "advantages": advantages.reshape(total),
-        }
-        key, sub = jax.random.split(st.rng)
+        key, k_perm, k_extra, k_loss = jax.random.split(st.rng, 4)
         perms = jax.vmap(lambda k: jax.random.permutation(k, total))(
-            jax.random.split(sub, cfg.num_learning_epochs)
-        )  # (epochs, total) — fresh randperm per epoch (rollout_storage.py:156)
+            jax.random.split(k_perm, cfg.num_learning_epochs)
+        )
         idx = perms[:, : mb_size * cfg.num_mini_batches].reshape(
             cfg.num_learning_epochs * cfg.num_mini_batches, mb_size
         )
 
-        def minibatch_step(carry, mb_idx):
+        def minibatch_step(carry, inp):
             params, opt_state, lr = carry
+            i, mb_idx = inp
             mb = {k: v[mb_idx] for k, v in flat.items()}
             (loss, (sur, vl, ent, kl)), grads = jax.value_and_grad(
                 self._loss, has_aux=True
-            )(params, mb, lr)
-            # adaptive LR applied before this minibatch's step (ppo.py:168)
+            )(params, mb, jax.random.fold_in(k_loss, i))
             lr = self._adapt_lr(lr, kl)
             new_opt_state = _set_lr(opt_state, lr)
             updates, new_opt_state = self.tx.update(grads, new_opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_opt_state, lr), jnp.stack([loss, sur, vl, ent, kl])
 
+        n_mb = idx.shape[0]
         (params, opt_state, lr), stats = jax.lax.scan(
-            minibatch_step, (st.params, st.opt_state, st.lr), idx
+            minibatch_step, (st.params, st.opt_state, st.lr),
+            (jnp.arange(n_mb), idx),
         )
         mean_stats = stats.mean(axis=0)
+        st = st.replace(params=params, opt_state=opt_state, lr=lr, rng=key)
         info = {
             "loss": mean_stats[0],
             "surrogate_loss": mean_stats[1],
@@ -176,13 +215,30 @@ class PPO:
             "kl": mean_stats[4],
             "lr": lr,
         }
-        return st.replace(params=params, opt_state=opt_state, lr=lr, rng=key), info
+        st, extra_info = self.extra_update(st, flat, k_extra)
+        info.update(extra_info)
+        return st, info
 
 
 def _set_lr(opt_state, lr):
     """Rewrite the injected learning_rate hyperparam inside the chain state."""
-    inner = opt_state[1]  # state of inject_hyperparams(adam) in the chain
+    inner = opt_state[1]
     hp = dict(inner.hyperparams)
     hp["learning_rate"] = lr
     new_inner = inner._replace(hyperparams=hp)
     return (opt_state[0], new_inner)
+
+
+def make_param_mask(params, predicate):
+    """Boolean pytree: True where the top-level module name satisfies predicate.
+
+    flax param dicts look like {"params": {"<module>": {...}, "log_std": ...}}.
+    """
+
+    def rec(tree, path):
+        if isinstance(tree, dict):
+            return {k: rec(v, path + (k,)) for k, v in tree.items()}
+        name = path[1] if len(path) > 1 else path[-1]
+        return predicate(name)
+
+    return rec(params, ())

@@ -1,10 +1,13 @@
-"""OnPolicyRunner: the train loop (reference rsl_rl/runners/on_policy_runner.py).
+"""Runners: the train loops (reference rsl_rl/runners/*).
 
-TPU-native shape: one jitted `train_iteration` = [lax.scan rollout of
-num_steps_per_env] -> [GAE] -> [PPO update]; the Python loop only sequences
-iterations and fetches metrics at log_interval. No host round-trips inside an
-iteration — the reference's `.item()` logging calls (:133-134) become a
-single device->host transfer of a small metrics dict per logged iteration.
+OnPolicyRunner + TS/EE/CTS/DreamWaQ variants differ only in (a) which network
+they build, (b) how the observation bundle is assembled from the env's
+StepOut, and (c) variant-specific advantage handling (CTS normalizes teacher
+and student env slices separately, rollout_storage_cts.py:81-115).
+
+TPU-native shape: one jitted `train_iteration` = [lax.scan rollout] -> [GAE]
+-> [PPO update + variant supervised phase]; the Python loop only sequences
+iterations and fetches a small metrics dict at log_interval.
 """
 
 from __future__ import annotations
@@ -22,15 +25,16 @@ from flax import serialization, struct
 
 from hcr_genesis_lr_cl_tpu.core.config import TrainCfg
 from hcr_genesis_lr_cl_tpu.models.networks import ActorCritic
+from hcr_genesis_lr_cl_tpu.models import variants as vnets
 from hcr_genesis_lr_cl_tpu.rl import gae as gae_mod
 from hcr_genesis_lr_cl_tpu.rl.ppo import PPO, PPOState, Transition
+from hcr_genesis_lr_cl_tpu.rl import variants as valgs
 
 
 @struct.dataclass
 class RunnerState:
     env_state: object
-    obs: jnp.ndarray
-    critic_obs: jnp.ndarray
+    bundle: dict
     ppo: PPOState
     rng: jnp.ndarray
 
@@ -42,16 +46,17 @@ class OnPolicyRunner:
         self.cfg = train_cfg
         self.log_dir = log_dir
         self.writer = writer
-        p = train_cfg.policy
         self.network = self.make_network()
-        self.alg = PPO(self.network, train_cfg.algorithm)
-        self.obs_dim = env.cfg.env.num_observations
-        self.critic_obs_dim = env.cfg.env.num_privileged_obs or self.obs_dim
+        self.alg = self.make_alg()
         self.num_steps = train_cfg.runner.num_steps_per_env
         self.iter = 0
         self._train_iter_fn = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # variant hooks
+    # ------------------------------------------------------------------
 
     def make_network(self):
         p = self.cfg.policy
@@ -63,58 +68,76 @@ class OnPolicyRunner:
             init_noise_std=p.init_noise_std,
         )
 
+    def make_alg(self):
+        return PPO(self.network, self.cfg.algorithm)
+
+    def make_bundle(self, obs, priv, extras) -> dict:
+        critic_obs = priv if priv.shape[-1] else obs
+        return {"obs": obs, "critic_obs": critic_obs}
+
+    def augment_transition_bundle(self, bundle: dict, out) -> dict:
+        """Attach post-step supervision targets to the acting bundle."""
+        return bundle
+
+    def normalize_advantages(self, advs):
+        return (advs - advs.mean()) / (advs.std() + 1e-8)
+
     # ------------------------------------------------------------------
 
     def init_state(self, key) -> RunnerState:
-        k_env, k_ppo, k_run, k_len = jax.random.split(key, 4)
+        k_env, k_obs, k_ppo, k_run, k_len = jax.random.split(key, 5)
         env_state = self.env.init(k_env)
-        # init_at_random_ep_len (on_policy_runner.py:168-169): stagger episodes
+        # init_at_random_ep_len (on_policy_runner.py:168-169)
         rand_len = jax.random.randint(
             k_len, env_state.episode_length.shape, 0, self.env.max_episode_length
         )
         env_state = env_state.replace(episode_length=rand_len)
-        obs, priv = self.env.compute_observations(env_state, jax.random.fold_in(k_env, 1))
-        critic_obs = priv if (priv is not None and priv.shape[-1]) else obs
-        ppo_state = self.alg.init(k_ppo, self.obs_dim, self.critic_obs_dim)
-        return RunnerState(env_state, obs, critic_obs, ppo_state, k_run)
+        env_state, obs, priv, extras = self.env.observe(env_state, k_obs)
+        if priv is None:
+            priv = jnp.zeros((self.env.num_envs, 0))
+        bundle = self.make_bundle(obs, priv, extras)
+        dims = {k: int(v.shape[-1]) for k, v in bundle.items() if v.ndim > 1}
+        dims.update(self.extra_dims())
+        ppo_state = self.alg.init(k_ppo, dims)
+        return RunnerState(env_state, bundle, ppo_state, k_run)
+
+    def extra_dims(self) -> dict:
+        return {}
 
     def _rollout(self, st: RunnerState):
         def step(carry, _):
-            env_state, obs, critic_obs, rng = carry
+            env_state, bundle, rng = carry
             rng, k_act = jax.random.split(rng)
             action, logp, value, mean, log_std = self.alg.act(
-                st.ppo.params, k_act, obs, critic_obs
+                st.ppo.params, k_act, bundle
             )
             env_state, out = self.env.step(env_state, action)
-            next_critic = (
-                out.privileged_obs if out.privileged_obs.shape[-1] else out.obs
-            )
+            priv = out.privileged_obs
+            next_bundle = self.make_bundle(out.obs, priv, out.extras)
             tr = Transition(
-                obs=obs, critic_obs=critic_obs, actions=action,
-                rewards=out.rew, dones=out.done, time_outs=out.time_out,
-                values=value, log_probs=logp, means=mean,
-                log_stds=jnp.broadcast_to(log_std, mean.shape),
+                bundle=self.augment_transition_bundle(bundle, out),
+                actions=action, rewards=out.rew, dones=out.done,
+                time_outs=out.time_out, values=value, log_probs=logp,
+                means=mean, log_stds=jnp.broadcast_to(log_std, mean.shape),
             )
-            return (env_state, out.obs, next_critic, rng), (tr, out.metrics, out.rew)
+            return (env_state, next_bundle, rng), (tr, out.metrics, out.rew)
 
-        (env_state, obs, critic_obs, rng), (batch, metrics, rews) = jax.lax.scan(
-            step, (st.env_state, st.obs, st.critic_obs, st.rng), None,
-            length=self.num_steps,
+        (env_state, bundle, rng), (batch, metrics, rews) = jax.lax.scan(
+            step, (st.env_state, st.bundle, st.rng), None, length=self.num_steps
         )
-        return st.replace(env_state=env_state, obs=obs, critic_obs=critic_obs, rng=rng), batch, metrics, rews
+        return st.replace(env_state=env_state, bundle=bundle, rng=rng), batch, metrics, rews
 
     def train_iteration(self, st: RunnerState):
         st, batch, metrics, rews = self._rollout(st)
-        last_value = self.network.apply(
-            st.ppo.params, st.critic_obs, method=self.network.value
-        )
+        last_value = self.alg.value_only(st.ppo.params, st.bundle)
         returns, advantages = gae_mod.compute_gae(
             batch.rewards, batch.values, batch.dones, batch.time_outs,
             last_value, self.cfg.algorithm.gamma, self.cfg.algorithm.lam,
+            normalize=False,
         )
+        advantages = self.normalize_advantages(advantages)
         ppo_state, info = self.alg.update(st.ppo, batch, returns, advantages)
         st = st.replace(ppo=ppo_state)
-        # weighted episode metrics over the T rollout steps
         cnt = jnp.maximum(jnp.sum(metrics["reset_count"]), 1.0)
         ep_metrics = {
             k: jnp.sum(v * metrics["reset_count"]) / cnt
@@ -129,30 +152,47 @@ class OnPolicyRunner:
 
     # ------------------------------------------------------------------
 
+    def train_block(self, st: RunnerState, k: int):
+        """k train iterations fused in one lax.scan (one device dispatch).
+
+        Amortizes host<->device dispatch latency, which dominates when the
+        host link is slow (measured 3x on the axon tunnel); also the natural
+        unit for async logging: metrics for all k iterations come back in one
+        transfer."""
+
+        def body(s, _):
+            s, info = self.train_iteration(s)
+            return s, info
+
+        return jax.lax.scan(body, st, None, length=k)
+
     def learn(self, num_iterations: int, key=None, log_interval: int = 10,
-              save_interval: Optional[int] = None, st: Optional[RunnerState] = None):
+              save_interval: Optional[int] = None, st: Optional[RunnerState] = None,
+              iters_per_call: int = 1):
         key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
         if st is None:
             st = self.init_state(key)
-        if self._train_iter_fn is None:
-            self._train_iter_fn = jax.jit(self.train_iteration)
+        k = max(1, iters_per_call)
+        train_block = jax.jit(lambda s: self.train_block(s, k))
         save_interval = save_interval or self.cfg.runner.save_interval
         t_start = time.time()
         n_env_steps = self.num_steps * self.env.num_envs
-        for it in range(num_iterations):
+        it = 0
+        while it < num_iterations:
             t0 = time.time()
-            st, info = self._train_iter_fn(st)
-            self.iter += 1
-            if (it + 1) % log_interval == 0 or it == 0:
-                info = jax.device_get(info)
-                dt_it = (time.time() - t0)
-                fps = n_env_steps / max(dt_it, 1e-9)
-                self._log(it + 1, num_iterations, info, fps)
-            if self.log_dir and ((it + 1) % save_interval == 0 or it + 1 == num_iterations):
+            st, infos = train_block(st)
+            it += k
+            self.iter += k
+            if (it % log_interval < k) or it >= num_iterations:
+                infos = jax.device_get(infos)
+                last = {kk: v[-1] for kk, v in infos.items()}
+                fps = k * n_env_steps / max(time.time() - t0, 1e-9)
+                self._log(it, num_iterations, last, fps)
+            if self.log_dir and (it % save_interval < k or it >= num_iterations):
                 self.save(st, os.path.join(self.log_dir, f"model_{self.iter}.ckpt"))
         total = time.time() - t_start
-        print(f"learn done: {num_iterations} iters in {total:.1f}s "
-              f"({num_iterations * n_env_steps / total:.0f} env steps/s)")
+        print(f"learn done: {it} iters in {total:.1f}s "
+              f"({it * n_env_steps / total:.0f} env steps/s)")
         return st
 
     def _log(self, it, total_iters, info, fps):
@@ -202,4 +242,167 @@ class OnPolicyRunner:
         )
 
     def get_inference_policy(self, st: RunnerState):
-        return jax.jit(lambda obs: self.alg.act_inference(st.ppo.params, obs))
+        return jax.jit(lambda *args: self.alg.act_inference(st.ppo.params, *args))
+
+
+class TSRunner(OnPolicyRunner):
+    """Teacher-student (reference ts_runner.py)."""
+
+    def make_network(self):
+        p = self.cfg.policy
+        return vnets.ActorCriticTS(
+            num_actions=self.env.num_actions,
+            latent_dims=p.latent_dims,
+            actor_hidden_dims=p.actor_hidden_dims,
+            critic_hidden_dims=p.critic_hidden_dims,
+            privilege_encoder_hidden_dims=p.privilege_encoder_hidden_dims,
+            history_encoder_hidden_dims=p.history_encoder_hidden_dims,
+            history_encoder_type=p.history_encoder_type,
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+
+    def make_alg(self):
+        return valgs.PPO_TS(self.network, self.cfg.algorithm)
+
+    def make_bundle(self, obs, priv, extras):
+        return {
+            "obs": obs,
+            "privileged_obs": priv,
+            "obs_history": extras["obs_history"],
+            "critic_obs": extras["critic_obs"],
+        }
+
+
+class EERunner(OnPolicyRunner):
+    """Explicit estimator (reference ee_runner.py)."""
+
+    def make_network(self):
+        p = self.cfg.policy
+        return vnets.ActorCriticEE(
+            num_actions=self.env.num_actions,
+            num_estimated_states=p.num_estimated_states,
+            actor_hidden_dims=p.actor_hidden_dims,
+            critic_hidden_dims=p.critic_hidden_dims,
+            estimator_hidden_dims=p.estimator_hidden_dims,
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+
+    def make_alg(self):
+        return valgs.PPO_EE(self.network, self.cfg.algorithm)
+
+    def make_bundle(self, obs, priv, extras):
+        return {
+            "obs": extras["obs_history"],  # estimator features
+            "critic_obs": extras["critic_obs"],
+            "estimator_labels": extras["estimator_labels"],
+        }
+
+    def augment_transition_bundle(self, bundle, out):
+        # labels are the post-step state (the reference stores them in
+        # process_env_step after env.step, ppo_ee.py)
+        return {**bundle, "estimator_labels": out.extras["estimator_labels"]}
+
+
+class CTSRunner(OnPolicyRunner):
+    """Concurrent teacher-student (reference cts_runner.py). The first
+    num_teacher envs act on the privilege-encoder latent."""
+
+    def __init__(self, env, train_cfg, **kw):
+        n = env.num_envs
+        nt = train_cfg.algorithm.num_teacher or (n // 4 * 3)
+        self.num_teacher = nt
+        self.teacher_mask_np = np.arange(n) < nt
+        super().__init__(env, train_cfg, **kw)
+
+    def make_network(self):
+        p = self.cfg.policy
+        return vnets.ActorCriticCTS(
+            num_actions=self.env.num_actions,
+            latent_dims=p.latent_dims,
+            actor_hidden_dims=p.actor_hidden_dims,
+            critic_hidden_dims=p.critic_hidden_dims,
+            privilege_encoder_hidden_dims=p.privilege_encoder_hidden_dims,
+            history_encoder_hidden_dims=p.history_encoder_hidden_dims,
+            history_encoder_type=p.history_encoder_type,
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+
+    def make_alg(self):
+        return valgs.PPO_CTS(self.network, self.cfg.algorithm)
+
+    def make_bundle(self, obs, priv, extras):
+        return {
+            "obs": obs,
+            "privileged_obs": priv,
+            "obs_history": extras["obs_history"],
+            "critic_obs": extras["critic_obs"],
+            "teacher_mask": jnp.asarray(self.teacher_mask_np),
+        }
+
+    def normalize_advantages(self, advs):
+        """Separate normalization for teacher/student env slices
+        (rollout_storage_cts.py:81-115)."""
+        nt = self.num_teacher
+        t, s = advs[:, :nt], advs[:, nt:]
+        t = (t - t.mean()) / (t.std() + 1e-8)
+        s = (s - s.mean()) / (s.std() + 1e-8)
+        return jnp.concatenate([t, s], axis=1)
+
+
+class DreamWaQRunner(OnPolicyRunner):
+    """DreamWaQ (reference dreamwaq_runner.py)."""
+
+    def make_network(self):
+        p = self.cfg.policy
+        return vnets.ActorCriticDreamWaQ(
+            num_actions=self.env.num_actions,
+            vae_latent_dims=p.vae_latent_dims,
+            num_explicit=p.num_estimated_states,
+            decoder_out_dim=self.env.cfg.env.num_single_obs
+            or self.env.cfg.env.num_observations,
+            actor_hidden_dims=p.actor_hidden_dims,
+            critic_hidden_dims=p.critic_hidden_dims,
+            vae_encoder_hidden_dims=p.vae_encoder_hidden_dims,
+            vae_decoder_hidden_dims=p.vae_decoder_hidden_dims,
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+
+    def make_alg(self):
+        return valgs.PPO_DreamWaQ(self.network, self.cfg.algorithm)
+
+    def make_bundle(self, obs, priv, extras):
+        return {
+            "obs": obs,
+            "obs_history": extras["obs_history"],
+            "critic_obs": extras["critic_obs"],
+            "explicit_labels": extras["explicit_labels"],
+            "next_obs": extras["next_obs"],
+        }
+
+    def augment_transition_bundle(self, bundle, out):
+        # next-state decoder target + explicit labels are post-step
+        # (ppo_dreamwaq.py:108 stores them after env.step)
+        return {
+            **bundle,
+            "next_obs": out.extras["next_obs"],
+            "explicit_labels": out.extras["explicit_labels"],
+        }
+
+
+RUNNERS = {
+    "OnPolicyRunner": OnPolicyRunner,
+    "TSRunner": TSRunner,
+    "EERunner": EERunner,
+    "CTSRunner": CTSRunner,
+    "DreamWaQRunner": DreamWaQRunner,
+}
+
+
+def make_runner(env, train_cfg: TrainCfg, log_dir=None, writer=None):
+    """Runner registry (reference rsl_rl/utils/runner_registry.py)."""
+    cls = RUNNERS[train_cfg.runner.runner_class_name]
+    return cls(env, train_cfg, log_dir=log_dir, writer=writer)

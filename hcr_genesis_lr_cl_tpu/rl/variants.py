@@ -1,0 +1,269 @@
+"""PPO variants: Teacher-Student, Explicit Estimator, Concurrent TS, DreamWaQ.
+
+Reference: rsl_rl/algorithms/ppo_ts.py, ppo_ee.py, ppo_cts.py,
+ppo_dreamwaq.py. Each variant overrides how the policy reads the observation
+bundle and adds its supervised phase with a separate (masked) optimizer —
+mirroring the reference's separate Adam instances
+(ppo_ts.py:65-68, ppo_ee.py:61-65, ppo_dreamwaq.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hcr_genesis_lr_cl_tpu.core.config import AlgorithmCfg
+from hcr_genesis_lr_cl_tpu.rl.ppo import PPO, PPOState, make_param_mask
+
+
+def _masked_adam(lr, params, module_names):
+    mask = make_param_mask(params, lambda n: n in module_names)
+    return optax.masked(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr)), mask
+    )
+
+
+def _mb_scan(key, total, n_steps, mb_size, body, init):
+    perm = jax.random.permutation(key, total)
+    reps = (n_steps * mb_size + total - 1) // total
+    idx = jnp.tile(perm, (reps,))[: n_steps * mb_size].reshape(n_steps, mb_size)
+    return jax.lax.scan(body, init, idx)
+
+
+class PPO_TS(PPO):
+    """RL on the teacher path + supervised history-encoder distillation
+    (ppo_ts.py:95-142,174-186)."""
+
+    ENCODER_MODULES = ("history_encoder",)
+
+    def example_bundle(self, dims):
+        return {
+            "obs": jnp.zeros((1, dims["obs"])),
+            "privileged_obs": jnp.zeros((1, dims["privileged_obs"])),
+            "obs_history": jnp.zeros((1, dims["obs_history"])),
+            "critic_obs": jnp.zeros((1, dims["critic_obs"])),
+        }
+
+    def init_params(self, key, b):
+        return self.net.init(
+            key, b["obs"], b["privileged_obs"], b["obs_history"], b["critic_obs"]
+        )
+
+    def policy_mean_value(self, params, b, key=None):
+        mean = self.net.apply(
+            params, b["obs"], b["privileged_obs"], method=self.net.act_teacher
+        )
+        value = self.net.apply(params, b["critic_obs"], method=self.net.value)
+        return mean, value, params["params"]["log_std"]
+
+    def init_extra_opt(self, params):
+        self.enc_tx = _masked_adam(
+            self.cfg.encoder_learning_rate, params, self.ENCODER_MODULES
+        )
+        return self.enc_tx.init(params)
+
+    def _encoder_loss(self, params, mb):
+        pred = self.net.apply(params, mb["obs_history"], method=self.net.encode_history)
+        target = jax.lax.stop_gradient(
+            self.net.apply(
+                params, mb["privileged_obs"], method=self.net.encode_privilege
+            )
+        )
+        m = mb["terminated"][:, None]
+        return jnp.mean(jnp.square(pred * m - target * m))
+
+    def extra_update(self, st: PPOState, flat: dict, key) -> Tuple[PPOState, Dict]:
+        cfg = self.cfg
+        total = flat["terminated"].shape[0]
+        n_steps = cfg.num_learning_epochs * cfg.num_mini_batches
+        mb_size = total // cfg.num_mini_batches
+
+        def body(carry, mb_idx):
+            params, opt_state = carry
+            mb = {k: flat[k][mb_idx] for k in
+                  ("obs_history", "privileged_obs", "terminated")}
+            loss, grads = jax.value_and_grad(self._encoder_loss)(params, mb)
+            updates, opt_state = self.enc_tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, eos), losses = _mb_scan(
+            key, total, n_steps, mb_size, body, (st.params, st.extra_opt_state)
+        )
+        return (
+            st.replace(params=params, extra_opt_state=eos),
+            {"encoder_loss": losses.mean()},
+        )
+
+    def act_inference(self, params, obs, obs_history):
+        return self.net.apply(params, obs, obs_history, method=self.net.act_student)
+
+
+class PPO_EE(PPO):
+    """RL on [features + estimate] with a supervised state estimator
+    (ppo_ee.py:61-65,171-175)."""
+
+    def example_bundle(self, dims):
+        return {
+            "obs": jnp.zeros((1, dims["obs"])),  # estimator features (history)
+            "critic_obs": jnp.zeros((1, dims["critic_obs"])),
+            "estimator_labels": jnp.zeros((1, dims["estimator_labels"])),
+        }
+
+    def init_params(self, key, b):
+        return self.net.init(key, b["obs"], b["critic_obs"])
+
+    def policy_mean_value(self, params, b, key=None):
+        mean = self.net.apply(params, b["obs"], method=self.net.act_mean)
+        value = self.net.apply(params, b["critic_obs"], method=self.net.value)
+        return mean, value, params["params"]["log_std"]
+
+    def init_extra_opt(self, params):
+        self.est_tx = _masked_adam(
+            self.cfg.estimator_learning_rate, params, ("estimator",)
+        )
+        return self.est_tx.init(params)
+
+    def _estimator_loss(self, params, mb):
+        pred = self.net.apply(params, mb["obs"], method=self.net.estimate)
+        m = mb["terminated"][:, None]
+        return jnp.mean(jnp.square(pred * m - mb["estimator_labels"] * m))
+
+    def extra_update(self, st: PPOState, flat: dict, key) -> Tuple[PPOState, Dict]:
+        cfg = self.cfg
+        total = flat["terminated"].shape[0]
+        n_steps = cfg.num_learning_epochs * cfg.num_mini_batches
+        mb_size = total // cfg.num_mini_batches
+
+        def body(carry, mb_idx):
+            params, opt_state = carry
+            mb = {k: flat[k][mb_idx] for k in ("obs", "estimator_labels", "terminated")}
+            loss, grads = jax.value_and_grad(self._estimator_loss)(params, mb)
+            updates, opt_state = self.est_tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, eos), losses = _mb_scan(
+            key, total, n_steps, mb_size, body, (st.params, st.extra_opt_state)
+        )
+        return (
+            st.replace(params=params, extra_opt_state=eos),
+            {"estimator_loss": losses.mean()},
+        )
+
+    def act_inference(self, params, features):
+        return self.net.apply(params, features, method=self.net.act_mean)
+
+
+class PPO_CTS(PPO):
+    """Concurrent teacher-student: per-sample latent source switch + latent
+    reconstruction pass (ppo_cts.py:110-135,162-267)."""
+
+    def example_bundle(self, dims):
+        return {
+            "obs": jnp.zeros((1, dims["obs"])),
+            "privileged_obs": jnp.zeros((1, dims["privileged_obs"])),
+            "obs_history": jnp.zeros((1, dims["obs_history"])),
+            "critic_obs": jnp.zeros((1, dims["critic_obs"])),
+            "teacher_mask": jnp.zeros((1,), dtype=bool),
+        }
+
+    def init_params(self, key, b):
+        return self.net.init(
+            key, b["obs"], b["privileged_obs"], b["obs_history"], b["critic_obs"],
+            b["teacher_mask"],
+        )
+
+    def policy_mean_value(self, params, b, key=None):
+        mean = self.net.apply(
+            params, b["obs"], b["privileged_obs"], b["obs_history"],
+            b["teacher_mask"], method=self.net.act_mixed,
+        )
+        value = self.net.apply(params, b["critic_obs"], method=self.net.value)
+        return mean, value, params["params"]["log_std"]
+
+    def init_extra_opt(self, params):
+        self.enc_tx = _masked_adam(
+            self.cfg.encoder_learning_rate, params, ("history_encoder",)
+        )
+        return self.enc_tx.init(params)
+
+    _encoder_loss = PPO_TS._encoder_loss
+    extra_update = PPO_TS.extra_update
+
+    def act_inference(self, params, obs, obs_history):
+        return self.net.apply(params, obs, obs_history, method=self.net.act_student)
+
+
+class PPO_DreamWaQ(PPO):
+    """VAE-based implicit+explicit estimation (ppo_dreamwaq.py)."""
+
+    def example_bundle(self, dims):
+        return {
+            "obs": jnp.zeros((1, dims["obs"])),
+            "obs_history": jnp.zeros((1, dims["obs_history"])),
+            "critic_obs": jnp.zeros((1, dims["critic_obs"])),
+            "explicit_labels": jnp.zeros((1, dims["explicit_labels"])),
+            "next_obs": jnp.zeros((1, dims["next_obs"])),
+        }
+
+    def init_params(self, key, b):
+        k1, k2 = jax.random.split(key)
+        return self.net.init(k1, b["obs"], b["obs_history"], b["critic_obs"], k2)
+
+    def policy_mean_value(self, params, b, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        mean, _, _ = self.net.apply(
+            params, b["obs"], b["obs_history"], key, method=self.net.act_sampled
+        )
+        value = self.net.apply(params, b["critic_obs"], method=self.net.value)
+        return mean, value, params["params"]["log_std"]
+
+    def init_extra_opt(self, params):
+        self.vae_tx = _masked_adam(self.cfg.vae_learning_rate, params, ("vae",))
+        return self.vae_tx.init(params)
+
+    def _vae_loss(self, params, mb, key):
+        recon, explicit, kld = self.net.apply(
+            params, mb["obs_history"], mb["explicit_labels"], mb["next_obs"], key,
+            method=self.net.vae_losses, mask=mb["terminated"],
+        )
+        loss = explicit + recon + self.cfg.vae_beta * kld
+        return loss, (recon, explicit, kld)
+
+    def extra_update(self, st: PPOState, flat: dict, key) -> Tuple[PPOState, Dict]:
+        cfg = self.cfg
+        total = flat["terminated"].shape[0]
+        n_steps = cfg.num_learning_epochs * cfg.num_mini_batches
+        mb_size = total // cfg.num_mini_batches
+        k_perm, k_loss = jax.random.split(key)
+
+        def body(carry, inp):
+            params, opt_state = carry
+            i, mb_idx = inp
+            mb = {k: flat[k][mb_idx] for k in
+                  ("obs_history", "explicit_labels", "next_obs", "terminated")}
+            (loss, aux), grads = jax.value_and_grad(self._vae_loss, has_aux=True)(
+                params, mb, jax.random.fold_in(k_loss, i)
+            )
+            updates, opt_state = self.vae_tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), jnp.stack([loss, *aux])
+
+        perm = jax.random.permutation(k_perm, total)
+        reps = (n_steps * mb_size + total - 1) // total
+        idx = jnp.tile(perm, (reps,))[: n_steps * mb_size].reshape(n_steps, mb_size)
+        (params, eos), stats = jax.lax.scan(
+            body, (st.params, st.extra_opt_state), (jnp.arange(n_steps), idx)
+        )
+        m = stats.mean(axis=0)
+        return (
+            st.replace(params=params, extra_opt_state=eos),
+            {"vae_loss": m[0], "vae_recon": m[1], "vae_explicit": m[2], "vae_kld": m[3]},
+        )
+
+    def act_inference(self, params, obs, obs_history):
+        return self.net.apply(params, obs, obs_history, method=self.net.act_inference)
