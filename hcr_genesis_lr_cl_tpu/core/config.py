@@ -188,17 +188,19 @@ class RewardScalesCfg(_Cfg):
     foot_acc: float = 0.0
     keep_balance: float = 0.0
     hip_pos: float = 0.0
-    # biped terms (tron1_pf.py:146-153, tron1_sf.py:286-308)
+    # biped terms (tron1_pf.py:146-153, tron1_sf.py:280-308)
     feet_distance: float = 0.0
     no_fly: float = 0.0
-    ankle_torques: float = 0.0
-    feet_rotation: float = 0.0
+    hip_pos_zero_command: float = 0.0
+    foot_flat: float = 0.0
+    keep_ankle_pitch_zero_in_air: float = 0.0
     # periodic-gait terms (go2_wtw.py:472, tron1_pf_ee.py:426)
     quad_periodic_gait: float = 0.0
     biped_periodic_gait: float = 0.0
     # wtw extra shaping
     tracking_base_height: float = 0.0
     tracking_orientation: float = 0.0
+    tracking_foot_clearance: float = 0.0
 
     def items(self):
         return {
@@ -209,8 +211,37 @@ class RewardScalesCfg(_Cfg):
 
 
 @dataclass(frozen=True)
+class PeriodicRewardCfg(_Cfg):
+    """OSU periodic reward framework (reference go2_wtw_config.py:56-66)."""
+
+    gait_function_type: str = "step"  # step | smooth
+    kappa: float = 20.0
+    b_swing: float = 0.5  # swing phase fraction of the cycle
+    # per-gait phase offsets (trot, pronk, pace, bound)
+    theta_fl_list: Tuple[float, ...] = (0.0, 0.0, 0.5, 0.0)
+    theta_fr_list: Tuple[float, ...] = (0.5, 0.0, 0.0, 0.0)
+    theta_rl_list: Tuple[float, ...] = (0.5, 0.0, 0.5, 0.5)
+    theta_rr_list: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.5)
+
+
+@dataclass(frozen=True)
+class BehaviorParamsCfg(_Cfg):
+    """Behavior-conditioning ranges (reference go2_wtw_config.py:68-73)."""
+
+    resampling_time: float = 5.0
+    gait_period_range: Tuple[float, float] = (0.3, 0.6)
+    foot_clearance_target_range: Tuple[float, float] = (0.04, 0.12)
+    base_height_target_range: Tuple[float, float] = (0.2, 0.34)
+    pitch_target_range: Tuple[float, float] = (-0.3, 0.3)
+
+
+@dataclass(frozen=True)
 class RewardsCfg(_Cfg):
     scales: RewardScalesCfg = field(default_factory=RewardScalesCfg)
+    periodic: PeriodicRewardCfg = field(default_factory=PeriodicRewardCfg)
+    behavior: BehaviorParamsCfg = field(default_factory=BehaviorParamsCfg)
+    base_height_tracking_sigma: float = 0.01
+    euler_tracking_sigma: float = 0.1
     only_positive_rewards: bool = True
     tracking_sigma: float = 0.25
     soft_dof_pos_limit: float = 1.0
@@ -222,8 +253,8 @@ class RewardsCfg(_Cfg):
     foot_clearance_tracking_sigma: float = 0.01
     about_landing_threshold: float = 0.08
     max_projected_gravity: float = -0.1  # termination condition
-    min_feet_distance: float = 0.1  # biped
-    max_feet_distance: float = 0.6  # biped
+    foot_distance_threshold: float = 0.115  # biped feet-too-close penalty
+    feet_air_time_target: float = 0.3  # seconds (tron1 uses 0.25)
 
 
 @dataclass(frozen=True)
@@ -306,20 +337,19 @@ class NoiseCfg(_Cfg):
 
 
 @dataclass(frozen=True)
-class ConstraintLimitCfg(_Cfg):
-    """One CaT constraint (reference: go2_cat.py:135-215, constraint_manager.py)."""
-
-    name: str
-    max_p: float = 0.25  # max termination probability (1.0 == hard constraint)
-    soft_p: float = 0.25
-    limit: float = 0.0  # threshold; semantic depends on the constraint name
-    tau: float = 0.95  # Polyak coefficient for the running max violation
-
-
-@dataclass(frozen=True)
 class ConstraintsCfg(_Cfg):
-    limits: Tuple[ConstraintLimitCfg, ...] = ()
+    """CaT — Constraints as Terminations (reference: go2_cat_config.py:28-36,
+    constraint_manager.py, go2_cat.py:135-215)."""
+
+    enable: str = ""  # "cat" activates the constraint manager
+    tau: float = 0.95  # Polyak decay for the running max violation
+    soft_p: float = 0.25  # max termination prob for soft constraints
     min_p: float = 0.0
+    # limits section
+    action_rate_limit: float = 100.0
+    max_projected_gravity: float = -0.1
+    min_base_height: float = 0.25
+    stand_still_dof_vel: float = 4.0
 
 
 @dataclass(frozen=True)

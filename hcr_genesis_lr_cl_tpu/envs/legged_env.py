@@ -151,6 +151,7 @@ class LeggedEnv:
             dtype=np.int32,
         )
         self.hip_dofs = np.asarray(m.dofs_named("hip"), dtype=np.int32)
+        self.ankle_dofs = np.asarray(m.dofs_named("ankle"), dtype=np.int32)
 
         # height probe grid
         self.height_points = sensors.make_height_points(
@@ -260,6 +261,7 @@ class LeggedEnv:
                 projected_gravity=jnp.tile(jnp.array([0.0, 0.0, -1.0]), (n, 1)),
                 feet_pos=jnp.zeros((n, self.num_feet, 3)),
                 feet_vel=jnp.zeros((n, self.num_feet, 3)),
+                feet_rot=jnp.tile(jnp.eye(3), (n, self.num_feet, 1, 1)),
                 link_contact_forces=jnp.zeros((n, self.model.num_slots, 3)),
                 torques=zeros_na,
                 body_pos=jnp.zeros((n, self.model.nb, 3)),
@@ -342,6 +344,22 @@ class LeggedEnv:
         v_base = jnp.concatenate(
             [jnp.einsum("nji,nj->ni", R, ang), jnp.einsum("nji,nj->ni", R, lin)], axis=-1
         )
+
+        # probabilistic alternate init pose (tron1_sf sit_init_percent,
+        # tron1_sf.py:143-150) — per-env Bernoulli between default and alt pose
+        if c.init_state.alt_init_percent > 0.0:
+            alt_q_topo = jnp.asarray(
+                eng._match(m.joint_names, c.init_state.alt_joint_angles)
+            )
+            alt = (
+                jax.random.uniform(jax.random.fold_in(key, 99), (n,))
+                < c.init_state.alt_init_percent
+            )
+            q_topo = jnp.where(alt[:, None], alt_q_topo[None], q_topo)
+            alt_pos = jnp.asarray(c.init_state.alt_pos) + state.env_origins
+            pos = jnp.where(alt[:, None], alt_pos, pos)
+            v_base = jnp.where(alt[:, None], 0.0, v_base)
+
         return PhysicsState(
             base_quat=quat, base_pos=pos, v_base=v_base, q=q_topo,
             qd=jnp.zeros((n, m.nj)),
@@ -521,6 +539,7 @@ class LeggedEnv:
 
         # ---- curricula ----
         metrics = {}
+        metrics.update(self.extra_metrics(state))
         if c.terrain.curriculum and c.terrain.mesh_type != "plane":
             state = self._terrain_curriculum(state, done)
             metrics["terrain_level"] = jnp.mean(state.terrain_row.astype(jnp.float32))
@@ -675,6 +694,10 @@ class LeggedEnv:
         """Per-task hook after physics, before termination/rewards (override)."""
         return state
 
+    def extra_metrics(self, state: EnvState) -> dict:
+        """Per-task scalar metrics merged into StepOut.metrics (override)."""
+        return {}
+
     # ------------------------------------------------------------------
     # observations (default layout; tasks override)
     # ------------------------------------------------------------------
@@ -820,7 +843,11 @@ class LeggedEnv:
         contact_filt = contact | st.last_contacts
         first_contact = (st.feet_air_time > 0.0) & contact_filt
         air = st.feet_air_time + self.dt
-        rew = jnp.sum((air - 0.3) * first_contact.astype(jnp.float32), axis=-1)
+        rew = jnp.sum(
+            (air - self.cfg.rewards.feet_air_time_target)
+            * first_contact.astype(jnp.float32),
+            axis=-1,
+        )
         rew = rew * (jnp.linalg.norm(ctx.commands[:, :2], axis=-1) > 0.1)
         return rew
 
@@ -892,3 +919,41 @@ class LeggedEnv:
             ),
             axis=-1,
         )
+
+    # ---- biped terms (reference tron1_pf.py:146-158, tron1_sf.py:280-308) ----
+
+    def _reward_feet_distance(self, ctx):
+        d = jnp.linalg.norm(
+            ctx.out.feet_pos[:, 0, :2] - ctx.out.feet_pos[:, 1, :2], axis=-1
+        )
+        return jnp.maximum(self.cfg.rewards.foot_distance_threshold - d, 0.0)
+
+    def _reward_no_fly(self, ctx):
+        contacts = ctx.feet_forces[:, :, 2] > 1.0
+        return (jnp.sum(contacts.astype(jnp.float32), axis=-1) == 1).astype(jnp.float32)
+
+    def _reward_hip_pos_zero_command(self, ctx):
+        hips = jnp.asarray(self.hip_dofs)
+        err = jnp.sum(
+            jnp.square(
+                ctx.dof_pos[:, hips] - jnp.asarray(self.default_dof_pos[self.hip_dofs])
+            ),
+            axis=-1,
+        )
+        return err * (jnp.linalg.norm(ctx.commands[:, :3], axis=-1) < 0.1)
+
+    def _reward_foot_flat(self, ctx):
+        # world z axis expressed in the foot frame; tilt = |x| + |y| components
+        z_in_foot = ctx.out.feet_rot[..., 2, :]  # row = R^T @ e_z
+        tilt = jnp.abs(z_in_foot[..., 0]) + jnp.abs(z_in_foot[..., 1])
+        return jnp.mean(jnp.exp(-tilt / 0.1), axis=-1)
+
+    def _reward_keep_ankle_pitch_zero_in_air(self, ctx):
+        ankles = jnp.asarray(self.ankle_dofs) if len(self.ankle_dofs) else None
+        if ankles is None:
+            return jnp.zeros(self.num_envs)
+        contacts = ctx.feet_forces[:, :, 2] > 1.0
+        pitch = jnp.sum(
+            jnp.abs(ctx.dof_pos[:, ankles]) * (~contacts).astype(jnp.float32), axis=-1
+        )
+        return jnp.exp(-jnp.abs(pitch) / 0.2)

@@ -61,5 +61,20 @@ def _register_builtin():
     register("go2_dreamwaq", go2_rough.Go2DreamWaQ, go2_rough.go2_dreamwaq_cfg,
              go2_rough.go2_dreamwaq_train_cfg)
 
+    from hcr_genesis_lr_cl_tpu.envs.tasks import go2_cat
+
+    register("go2_cat", go2_cat.Go2CaT, go2_cat.go2_cat_cfg, go2_cat.go2_cat_train_cfg)
+
+    from hcr_genesis_lr_cl_tpu.envs.tasks import go2_wtw
+
+    register("go2_wtw", go2_wtw.Go2WTW, go2_wtw.go2_wtw_cfg, go2_wtw.go2_wtw_train_cfg)
+
+    from hcr_genesis_lr_cl_tpu.envs.tasks import bipedal_walker, tron1
+
+    register("tron1_pf", tron1.TRON1PF, tron1.tron1_pf_cfg, tron1.tron1_pf_train_cfg)
+    register("tron1_sf", tron1.TRON1SF, tron1.tron1_sf_cfg, tron1.tron1_sf_train_cfg)
+    register("bipedal_walker", bipedal_walker.BipedalWalker,
+             bipedal_walker.bipedal_walker_cfg, bipedal_walker.bipedal_walker_train_cfg)
+
 
 _register_builtin()

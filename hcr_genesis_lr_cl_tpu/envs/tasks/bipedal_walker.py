@@ -1,0 +1,72 @@
+"""Generic 3D bipedal walker (reference envs/bipedal_walker/*, 10 DOF, 42-dim
+default observation layout)."""
+
+from __future__ import annotations
+
+from hcr_genesis_lr_cl_tpu.core.config import (
+    AssetCfg, CommandsCfg, ControlCfg, EnvCfg, InitStateCfg, LeggedRobotCfg,
+    RewardScalesCfg, RewardsCfg, RunnerCfg, TerrainCfg, TrainCfg,
+)
+from hcr_genesis_lr_cl_tpu.envs.legged_env import LeggedEnv
+
+DOF_NAMES = (
+    "hip_joint_saggital_right", "hip_joint_frontal_right",
+    "hip_joint_transversal_right", "knee_joint_right", "ankle_joint_right",
+    "hip_joint_saggital_left", "hip_joint_frontal_left",
+    "hip_joint_transversal_left", "knee_joint_left", "ankle_joint_left",
+)
+
+
+class BipedalWalker(LeggedEnv):
+    pass
+
+
+def bipedal_walker_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return LeggedRobotCfg(
+        env=EnvCfg(num_envs=num_envs, num_observations=42, num_actions=10,
+                   env_spacing=3.0),
+        terrain=TerrainCfg(mesh_type="plane"),
+        init_state=InitStateCfg(
+            pos=(0.0, 0.0, 1.08),
+            default_joint_angles=tuple((n, 0.0) for n in DOF_NAMES),
+        ),
+        control=ControlCfg(
+            stiffness=(
+                ("hip_joint_saggital", 100.0), ("hip_joint_frontal", 100.0),
+                ("hip_joint_transversal", 200.0), ("knee_joint", 200.0),
+                ("ankle_joint", 200.0),
+            ),
+            damping=(
+                ("hip_joint_saggital", 3.0), ("hip_joint_frontal", 3.0),
+                ("hip_joint_transversal", 6.0), ("knee_joint", 6.0),
+                ("ankle_joint", 10.0),
+            ),
+            action_scale=0.25, decimation=4,
+        ),
+        asset=AssetCfg(
+            name="bipedal_walker",
+            file="resources/robots/bipedal_walker.json",
+            foot_name="foot",
+            penalize_contacts_on=(),
+            terminate_after_contacts_on=("torso", "thigh", "shank"),
+            base_link_name="torso",
+            dof_names=DOF_NAMES,
+        ),
+        rewards=RewardsCfg(
+            scales=RewardScalesCfg(
+                termination=-200.0, dof_pos_limits=-5.0,
+                tracking_lin_vel=1.0, tracking_ang_vel=1.0,
+                lin_vel_z=-2.0, base_height=-1.0, ang_vel_xy=-0.05,
+                dof_acc=-2.0e-7, action_rate=-0.01,
+                feet_air_time=1.0, no_fly=0.25,
+            ),
+            soft_dof_pos_limit=0.9,
+            base_height_target=1.08,
+            only_positive_rewards=False,
+        ),
+        commands=CommandsCfg(heading_command=True),
+    )
+
+
+def bipedal_walker_train_cfg() -> TrainCfg:
+    return TrainCfg(runner=RunnerCfg(experiment_name="bipedal_walker"))

@@ -1,0 +1,139 @@
+"""Go2 CaT: Constraints-as-Terminations on top of the TS task.
+
+Reference: go2_cat/go2_cat.py (+config). Nine constraints — soft
+(torque, dof_vel, action_rate, base_height @ max_p = soft_p), hard
+(collision, feet_stumble, dof_pos, base_orientation @ max_p = 1.0), style
+(stand_still) — feed the Polyak constraint manager; the step reward is
+discounted by the combined termination probability
+(`rew *= (1 - cstr_prob)`, go2_cat.py:217-238).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.core.config import ConstraintsCfg, LeggedRobotCfg, TrainCfg
+from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState
+from hcr_genesis_lr_cl_tpu.envs.tasks import go2_rough
+from hcr_genesis_lr_cl_tpu.utils import constraints as cstr
+
+N_CONSTRAINTS = 9
+
+
+def go2_cat_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    cfg = go2_rough.go2_ts_cfg(num_envs)
+    scales = cfg.rewards.scales.replace(
+        dof_pos_limits=0.0, collision=0.0, dof_pos_stand_still=0.0,
+        lin_vel_z=-1.0, orientation=-0.5,
+        hip_pos=-0.2, dof_close_to_default=-0.05, foot_clearance=0.2,
+    )
+    return cfg.replace(
+        rewards=cfg.rewards.replace(scales=scales, base_height_target=0.34),
+        constraints=ConstraintsCfg(
+            enable="cat", tau=0.95, soft_p=0.25,
+            action_rate_limit=100.0, max_projected_gravity=-0.1,
+            min_base_height=0.25,
+        ),
+        normalization=cfg.normalization.replace(clip_actions=10.0),
+    )
+
+
+def go2_cat_train_cfg() -> TrainCfg:
+    tc = go2_rough.go2_ts_train_cfg()
+    return tc.replace(runner=tc.runner.replace(run_name="cat"))
+
+
+class Go2CaT(go2_rough.Go2TS):
+    MAX_PS = {
+        "torque": None, "dof_vel": None, "action_rate": None, "base_height": None,
+        "collision": 1.0, "feet_stumble": 1.0, "dof_pos": 1.0,
+        "base_orientation": 1.0, "stand_still": None,
+    }
+
+    def init_extra(self, n: int) -> dict:
+        extra = super().init_extra(n)
+        extra["cstr_running_max"] = jnp.full((N_CONSTRAINTS,), 1e-6)
+        extra["cstr_prob"] = jnp.zeros((n,))
+        extra["cstr_fracs"] = jnp.zeros((N_CONSTRAINTS,))
+        return extra
+
+    def reset_extra(self, state: EnvState, mask) -> dict:
+        extra = super().reset_extra(state, mask)
+        for k in ("cstr_running_max", "cstr_prob", "cstr_fracs"):
+            extra[k] = state.extra[k]
+        return extra
+
+    def compute_constraints(self, state: EnvState) -> dict:
+        """(go2_cat.py:135-215; boolean violations as 0/1 floats)."""
+        c = self.cfg.constraints
+        out = state.sim_out
+        dof_vel = self.dof_vel_user(state)
+        dof_pos = self.dof_pos_user(state)
+        v = {}
+        v["torque"] = jnp.any(
+            jnp.abs(out.torques) > jnp.asarray(self.torque_limits), axis=-1
+        )
+        v["dof_vel"] = jnp.any(
+            jnp.abs(dof_vel) > jnp.asarray(self.dof_vel_limits), axis=-1
+        )
+        v["action_rate"] = jnp.any(
+            jnp.abs(state.actions - state.last_actions) / self.dt > c.action_rate_limit,
+            axis=-1,
+        )
+        base_h = state.physics.base_pos[:, 2] - jnp.mean(state.measured_hts, axis=-1)
+        v["base_height"] = base_h < c.min_base_height
+        pen = state.sim_out.link_contact_forces[:, jnp.asarray(self.penalized_slots)]
+        v["collision"] = jnp.any(jnp.linalg.norm(pen, axis=-1) > 10.0, axis=-1)
+        feet = self.feet_contact_forces(state)
+        v["feet_stumble"] = jnp.any(
+            jnp.linalg.norm(feet, axis=-1) > 4.0 * jnp.abs(feet[:, :, 2]), axis=-1
+        )
+        # out-of-limit on either side (the reference ANDs the two sides,
+        # go2_cat.py:176-178 — an apparent typo; OR is the stated intent)
+        v["dof_pos"] = jnp.any(
+            (dof_pos < jnp.asarray(self.dof_pos_limits[:, 0]))
+            | (dof_pos > jnp.asarray(self.dof_pos_limits[:, 1])),
+            axis=-1,
+        )
+        v["base_orientation"] = out.projected_gravity[:, 2] > c.max_projected_gravity
+        v["stand_still"] = jnp.any(
+            jnp.abs(dof_vel) > c.stand_still_dof_vel, axis=-1
+        ) & (jnp.linalg.norm(state.commands[:, :3], axis=-1) < 0.1)
+        return {k: val.astype(jnp.float32) for k, val in v.items()}
+
+    def post_physics_extra(self, state: EnvState) -> EnvState:
+        c = self.cfg.constraints
+        viols = self.compute_constraints(state)
+        max_ps = {k: (1.0 if self.MAX_PS[k] == 1.0 else c.soft_p) for k in viols}
+        prob, new_max, fracs = cstr.update_constraints(
+            viols, max_ps, state.extra["cstr_running_max"], c.tau, c.min_p
+        )
+        frac_vec = jnp.stack([fracs[f"cstr_{k}"] for k in sorted(viols)])
+        return state.replace(
+            extra={
+                **state.extra,
+                "cstr_running_max": new_max,
+                "cstr_prob": prob,
+                "cstr_fracs": frac_vec,
+            }
+        )
+
+    def extra_metrics(self, state: EnvState) -> dict:
+        names = sorted(self.MAX_PS)
+        m = {f"cstr_{n}": state.extra["cstr_fracs"][i] for i, n in enumerate(names)}
+        m["cstr_prob_mean"] = jnp.mean(state.extra["cstr_prob"])
+        return m
+
+    def _compute_reward(self, ctx, state: EnvState):
+        """Reward discounted by constraint termination prob (go2_cat.py:217-238)."""
+        rew = jnp.zeros(self.num_envs)
+        sums = state.episode_sums
+        for i, (name, scale) in enumerate(zip(self.reward_names, self.reward_scales)):
+            r = getattr(self, f"_reward_{name}")(ctx) * scale
+            rew = rew + r
+            sums = sums.at[:, i].add(r)
+        if self.cfg.rewards.only_positive_rewards:
+            rew = jnp.maximum(rew * (1.0 - state.extra["cstr_prob"]), 0.0)
+        if self.termination_scale != 0.0:
+            rew = rew + self._reward_termination(ctx) * self.termination_scale
+        return rew, sums

@@ -1,0 +1,436 @@
+"""GO2WTW: behavior-conditioned multi-gait locomotion (Walk-These-Ways +
+OSU periodic reward framework).
+
+Reference: go2_wtw/go2_wtw.py + config. Gait clock phi advances each step;
+per-foot phase offsets theta select trot/pronk/pace/bound; the periodic
+reward penalizes foot force in swing and foot speed in stance. Behavior
+parameters (gait period, base height, foot clearance, pitch targets) are
+resampled per episode segment and widened by a curriculum.
+
+The von-Mises "smooth" gait indicator (reference computes it with
+scipy.stats.vonmises.cdf on the CPU each step — go2_wtw.py:423-429) is
+implemented here as a normal-approximation CDF in jnp (erf-based), which is
+accurate for the reference's kappa=20 concentration and stays on-device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import (
+    BehaviorParamsCfg, CommandsCfg, CommandRangesCfg, DomainRandCfg, EnvCfg,
+    LeggedRobotCfg, PeriodicRewardCfg, PolicyCfg, RewardScalesCfg, RewardsCfg,
+    RunnerCfg, TerrainCfg, TrainCfg, AlgorithmCfg,
+)
+from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState
+from hcr_genesis_lr_cl_tpu.envs.tasks import go2 as go2_task
+from hcr_genesis_lr_cl_tpu.utils import math as hm
+
+NUM_SINGLE_OBS = 61
+FRAME_STACK = 5
+C_FRAME_STACK = 5
+NUM_SINGLE_PRIV = NUM_SINGLE_OBS + 38
+
+
+def go2_wtw_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return LeggedRobotCfg(
+        env=EnvCfg(
+            num_envs=num_envs,
+            num_observations=NUM_SINGLE_OBS * FRAME_STACK,
+            num_privileged_obs=NUM_SINGLE_PRIV * C_FRAME_STACK,
+            num_actions=12,
+            frame_stack=FRAME_STACK,
+            c_frame_stack=C_FRAME_STACK,
+            num_single_obs=NUM_SINGLE_OBS,
+            num_single_critic_obs=NUM_SINGLE_PRIV,
+        ),
+        terrain=TerrainCfg(mesh_type="plane"),
+        init_state=go2_task.go2_init_state(),
+        control=go2_task.go2_control(),
+        asset=go2_task.go2_flat_asset(),
+        rewards=RewardsCfg(
+            scales=RewardScalesCfg(
+                dof_pos_limits=-10.0, collision=-1.0,
+                tracking_lin_vel=1.0, tracking_ang_vel=0.5,
+                tracking_base_height=0.6, tracking_orientation=0.6,
+                tracking_foot_clearance=0.9, quad_periodic_gait=1.5,
+                lin_vel_z=-0.5, ang_vel_xy=-0.05, dof_vel=-5.0e-4,
+                dof_acc=-2.0e-7, action_rate=-0.01, action_smoothness=-0.01,
+                torques=-2.0e-4, foot_landing_vel=-0.1, hip_pos=-1.0,
+            ),
+            soft_dof_pos_limit=0.9,
+            base_height_tracking_sigma=0.01,
+            foot_height_offset=0.022,
+            foot_clearance_tracking_sigma=0.01,
+            euler_tracking_sigma=0.1,
+            about_landing_threshold=0.03,
+            only_positive_rewards=True,
+            periodic=PeriodicRewardCfg(),
+            behavior=BehaviorParamsCfg(),
+        ),
+        commands=CommandsCfg(
+            curriculum=True, max_curriculum=1.0, resampling_time=8.0,
+            heading_command=True,
+            ranges=CommandRangesCfg(lin_vel_x=(-0.5, 0.5), lin_vel_y=(-1.0, 1.0)),
+        ),
+        domain_rand=DomainRandCfg(
+            friction_range=(0.2, 1.7),
+            com_pos_x_range=(-0.03, 0.03), com_pos_y_range=(-0.03, 0.03),
+            com_pos_z_range=(-0.03, 0.03),
+            randomize_pd_gain=True,
+        ),
+    )
+
+
+def go2_wtw_train_cfg() -> TrainCfg:
+    return TrainCfg(
+        seed=1,
+        policy=PolicyCfg(),
+        algorithm=AlgorithmCfg(),
+        runner=RunnerCfg(experiment_name="go2_wtw", run_name="wtw",
+                         save_interval=500, max_iterations=3000),
+    )
+
+
+def _norm_cdf(x, sigma):
+    return 0.5 * (1.0 + jax.scipy.special.erf(x / (sigma * jnp.sqrt(2.0))))
+
+
+class Go2WTW(go2_task.Go2Env):
+    def __init__(self, cfg, robot, terrain_seed: int = 0):
+        super().__init__(cfg, robot, terrain_seed)
+        p = cfg.rewards.periodic
+        self.theta_table = np.stack(
+            [p.theta_fl_list, p.theta_fr_list, p.theta_rl_list, p.theta_rr_list],
+            axis=-1,
+        )  # (num_gaits, 4)
+        self.num_gait_max = self.theta_table.shape[0]
+        b = cfg.rewards.behavior
+        self.behavior_resample_interval = max(
+            1, int(b.resampling_time / self.dt)
+        )
+        self.frame_stack = cfg.env.frame_stack
+        self.c_frame_stack = cfg.env.c_frame_stack
+        self.num_single_obs = cfg.env.num_single_obs
+        self.num_single_priv = cfg.env.num_single_critic_obs
+
+    def _make_noise_vec(self):
+        c = self.cfg
+        ns, s = c.noise.noise_scales, c.normalization.obs_scales
+        lvl = c.noise.noise_level
+        na = self.num_actions
+        vec = np.zeros(NUM_SINGLE_OBS, dtype=np.float32)
+        vec[3:6] = ns.gravity * lvl
+        vec[6:9] = ns.ang_vel * lvl * s.ang_vel
+        vec[9 : 9 + na] = ns.dof_pos * lvl * s.dof_pos
+        vec[9 + na : 9 + 2 * na] = ns.dof_vel * lvl * s.dof_vel
+        return vec
+
+    # ------------------------------------------------------------------
+    # behavior params + gait clock carry
+    # ------------------------------------------------------------------
+
+    def init_extra(self, n: int) -> dict:
+        b = self.cfg.rewards.behavior
+        mid = lambda r: 0.5 * (r[0] + r[1])
+        return {
+            "gait_time": jnp.zeros(n),
+            "phi": jnp.zeros(n),
+            "theta": jnp.tile(jnp.asarray(self.theta_table[0]), (n, 1)),
+            "gait_period": jnp.full(n, mid(b.gait_period_range)),
+            "base_height_target": jnp.full(n, mid(b.base_height_target_range)),
+            "foot_clearance_target": jnp.full(n, b.foot_clearance_target_range[0]),
+            "pitch_target": jnp.full(n, mid(b.pitch_target_range)),
+            "clock": jnp.zeros((n, 8)),
+            "exp_C_frc": jnp.zeros((n, 4)),
+            "exp_C_spd": jnp.zeros((n, 4)),
+            # curriculum state (global): current widened ranges + #gaits
+            "gait_period_range": jnp.full(2, mid(b.gait_period_range)),
+            "base_height_target_range": jnp.full(2, mid(b.base_height_target_range)),
+            "foot_clearance_target_range": jnp.full(2, b.foot_clearance_target_range[0]),
+            "pitch_target_range": jnp.full(2, mid(b.pitch_target_range)),
+            "num_gaits": jnp.ones((), dtype=jnp.int32),
+            "obs_history": jnp.zeros((n, self.frame_stack, self.num_single_obs)),
+            "critic_history": jnp.zeros((n, self.c_frame_stack, self.num_single_priv)),
+        }
+
+    def _resample_behavior(self, state: EnvState, mask, key) -> EnvState:
+        n = self.num_envs
+        e = state.extra
+        ks = jax.random.split(key, 5)
+        u = lambda k, r: jax.random.uniform(k, (n,), minval=r[0], maxval=r[1])
+        gp = u(ks[0], e["gait_period_range"])
+        bh = u(ks[1], e["base_height_target_range"])
+        fc = u(ks[2], e["foot_clearance_target_range"])
+        pt = u(ks[3], e["pitch_target_range"])
+        gait_idx = jax.random.randint(ks[4], (), 0, jnp.maximum(e["num_gaits"], 1))
+        theta_new = jnp.asarray(self.theta_table)[gait_idx]
+        # pronk/bound get the minimum foot clearance (go2_wtw.py:214-218)
+        is_pronk = jnp.all(theta_new == 0.0)
+        is_bound = jnp.all(theta_new == jnp.asarray([0.0, 0.0, 0.5, 0.5]))
+        fc = jnp.where(
+            is_pronk | is_bound,
+            self.cfg.rewards.behavior.foot_clearance_target_range[0], fc,
+        )
+        w = lambda new, old: jnp.where(mask, new, old)
+        extra = {
+            **e,
+            "gait_period": w(gp, e["gait_period"]),
+            "base_height_target": w(bh, e["base_height_target"]),
+            "foot_clearance_target": w(fc, e["foot_clearance_target"]),
+            "pitch_target": w(pt, e["pitch_target"]),
+            "theta": jnp.where(mask[:, None], theta_new[None], e["theta"]),
+        }
+        return state.replace(extra=extra)
+
+    def post_physics_extra(self, state: EnvState) -> EnvState:
+        e = state.extra
+        # gait clock (go2_wtw.py:29-36)
+        gait_time = e["gait_time"] + self.dt
+        over = gait_time >= (e["gait_period"] - self.dt / 2)
+        gait_time = jnp.where(over, 0.0, gait_time)
+        phi = gait_time / e["gait_period"]
+        state = state.replace(
+            extra={**e, "gait_time": gait_time, "phi": phi}
+        )
+        # behavior resampling on its own cadence (go2_wtw.py:262-266)
+        mask = (state.episode_length % self.behavior_resample_interval) == 0
+        key = jax.random.fold_in(state.rng, 23)
+        state = self._resample_behavior(state, mask, key)
+        # gait indicators for rewards & priv obs
+        exp_C_spd, exp_C_frc = self._gait_indicators(state)
+        clock = self._clock(state)
+        return state.replace(
+            extra={**state.extra, "exp_C_spd": exp_C_spd, "exp_C_frc": exp_C_frc,
+                   "clock": clock}
+        )
+
+    def reset_extra(self, state: EnvState, mask) -> dict:
+        e = dict(state.extra)
+        zero = lambda z, nd: jnp.where(mask.reshape((-1,) + (1,) * (z.ndim - 1)), jnp.zeros_like(z), z)
+        for k in ("gait_time", "phi", "clock"):
+            e[k] = zero(e[k], None)
+        e["obs_history"] = zero(e["obs_history"], None)
+        e["critic_history"] = zero(e["critic_history"], None)
+        return e
+
+    def _reset_envs(self, state: EnvState, mask, key) -> EnvState:
+        state = super()._reset_envs(state, mask, key)
+        return self._resample_behavior(state, mask, jax.random.fold_in(key, 31))
+
+    # ------------------------------------------------------------------
+    # gait machinery
+    # ------------------------------------------------------------------
+
+    def _clock(self, state: EnvState):
+        e = state.extra
+        ph = e["phi"][:, None] + e["theta"]  # (N, 4)
+        return jnp.concatenate(
+            [jnp.sin(2 * jnp.pi * ph), jnp.cos(2 * jnp.pi * ph)], axis=-1
+        )
+
+    def _gait_indicators(self, state: EnvState):
+        """exp_C_spd, exp_C_frc per foot (go2_wtw.py:377-470)."""
+        p = self.cfg.rewards.periodic
+        e = state.extra
+        phi = jnp.mod(e["phi"][:, None] + e["theta"], 1.0) * 2 * jnp.pi  # (N,4)
+        a_swing, b_swing, b_stance = 0.0, p.b_swing * 2 * jnp.pi, 2 * jnp.pi
+        if p.gait_function_type == "step":
+            in_swing = (phi >= a_swing) & (phi < b_swing)
+            exp_C_frc = jnp.where(in_swing, -1.0, 0.0)
+            exp_C_spd = jnp.where(in_swing, 0.0, -1.0)
+        else:  # smooth: normal approximation of the von-Mises phase CDF
+            sigma = 1.0 / jnp.sqrt(p.kappa)
+            F_A = _norm_cdf(phi - a_swing, sigma)
+            F_B = _norm_cdf(phi - b_swing, sigma)
+            F_C = _norm_cdf(phi - b_stance, sigma)
+            exp_swing = F_A * (1.0 - F_B)
+            exp_stance = F_B * (1.0 - F_C)
+            exp_C_frc = -exp_swing
+            exp_C_spd = -exp_stance
+        return exp_C_spd, exp_C_frc
+
+    # ------------------------------------------------------------------
+    # observations: 61-dim single frame x frame_stack
+    # ------------------------------------------------------------------
+
+    def single_obs(self, state: EnvState, key):
+        c = self.cfg
+        s = c.normalization.obs_scales
+        out = state.sim_out
+        e = state.extra
+        cmd_scale = jnp.array([s.lin_vel, s.lin_vel, s.ang_vel])
+        clean = jnp.concatenate(
+            [
+                state.commands[:, :3] * cmd_scale,
+                out.projected_gravity,
+                out.base_ang_vel * s.ang_vel,
+                (self.dof_pos_user(state) - self.default_dof_pos) * s.dof_pos,
+                self.dof_vel_user(state) * s.dof_vel,
+                state.actions,
+                # clock recomputed at observe time so freshly-reset envs see
+                # their phase-0 clock (reference recomputes after reset_idx)
+                self._clock(state),
+                e["gait_period"][:, None],
+                e["base_height_target"][:, None],
+                e["foot_clearance_target"][:, None],
+                e["pitch_target"][:, None],
+                e["theta"],
+            ],
+            axis=-1,
+        )
+        noisy = clean
+        if c.noise.add_noise:
+            noisy = clean + (
+                jax.random.uniform(key, clean.shape, minval=-1.0, maxval=1.0)
+                * jnp.asarray(self.noise_vec)
+            )
+        return noisy, clean
+
+    def privileged_single(self, state: EnvState, clean):
+        s = self.cfg.normalization.obs_scales
+        uidx = jnp.asarray(self.model.user_dof_idx)
+        return jnp.concatenate(
+            [
+                clean,
+                state.sim_out.base_lin_vel * s.lin_vel,
+                state.dr.push_vel[:, :2],
+                state.dr.added_mass[:, None],
+                state.dr.friction[:, None],
+                state.dr.com_bias,
+                state.dr.kp_scale[:, uidx],
+                state.dr.kd_scale[:, uidx],
+                state.extra["exp_C_frc"],
+            ],
+            axis=-1,
+        )
+
+    def observe(self, state: EnvState, key):
+        noisy, clean = self.single_obs(state, key)
+        priv = self.privileged_single(state, clean)
+        oh = jnp.concatenate([state.extra["obs_history"][:, 1:], noisy[:, None]], axis=1)
+        ch = jnp.concatenate([state.extra["critic_history"][:, 1:], priv[:, None]], axis=1)
+        state = state.replace(
+            extra={**state.extra, "obs_history": oh, "critic_history": ch}
+        )
+        n = noisy.shape[0]
+        return state, oh.reshape(n, -1), ch.reshape(n, -1), {}
+
+    # ------------------------------------------------------------------
+    # behavior curriculum (go2_wtw.py:220-247)
+    # ------------------------------------------------------------------
+
+    def _command_curriculum(self, state: EnvState, done) -> EnvState:
+        state = super()._command_curriculum(state, done)
+        b = self.cfg.rewards.behavior
+        e = state.extra
+        at_epoch = (state.common_step % self.max_episode_length) == 0
+        cnt = jnp.sum(done.astype(jnp.float32))
+
+        def mean_sum(name):
+            i = self.reward_names.index(name)
+            return (
+                jnp.sum(jnp.where(done, state.episode_sums[:, i], 0.0))
+                / jnp.maximum(cnt, 1.0) / self.max_episode_length,
+                self.reward_scales[i],
+            )
+
+        extra = dict(e)
+        if "quad_periodic_gait" in self.reward_names:
+            m, sc = mean_sum("quad_periodic_gait")
+            ok = at_epoch & (cnt > 0) & (m > 0.8 * sc)
+            r = e["gait_period_range"]
+            extra["gait_period_range"] = jnp.where(
+                ok,
+                jnp.stack([
+                    jnp.maximum(r[0] - 0.05, b.gait_period_range[0]),
+                    jnp.minimum(r[1] + 0.05, b.gait_period_range[1]),
+                ]),
+                r,
+            )
+            extra["num_gaits"] = jnp.where(
+                ok, jnp.minimum(e["num_gaits"] + 1, self.num_gait_max), e["num_gaits"]
+            )
+        if "tracking_base_height" in self.reward_names:
+            m, sc = mean_sum("tracking_base_height")
+            ok = at_epoch & (cnt > 0) & (m > 0.9 * sc)
+            r = e["base_height_target_range"]
+            extra["base_height_target_range"] = jnp.where(
+                ok,
+                jnp.stack([
+                    jnp.maximum(r[0] - 0.02, b.base_height_target_range[0]),
+                    jnp.minimum(r[1] + 0.02, b.base_height_target_range[1]),
+                ]),
+                r,
+            )
+        if "tracking_foot_clearance" in self.reward_names:
+            m, sc = mean_sum("tracking_foot_clearance")
+            ok = at_epoch & (cnt > 0) & (m > 0.8 * sc)
+            r = e["foot_clearance_target_range"]
+            extra["foot_clearance_target_range"] = jnp.where(
+                ok,
+                jnp.stack([
+                    jnp.maximum(r[0] - 0.01, b.foot_clearance_target_range[0]),
+                    jnp.minimum(r[1] + 0.01, b.foot_clearance_target_range[1]),
+                ]),
+                r,
+            )
+        if "tracking_orientation" in self.reward_names:
+            m, sc = mean_sum("tracking_orientation")
+            ok = at_epoch & (cnt > 0) & (m > 0.9 * sc)
+            r = e["pitch_target_range"]
+            extra["pitch_target_range"] = jnp.where(
+                ok,
+                jnp.stack([
+                    jnp.maximum(r[0] - 0.05, b.pitch_target_range[0]),
+                    jnp.minimum(r[1] + 0.05, b.pitch_target_range[1]),
+                ]),
+                r,
+            )
+        return state.replace(extra=extra)
+
+    def extra_metrics(self, state: EnvState) -> dict:
+        e = state.extra
+        return {
+            "gait_period_max": e["gait_period_range"][1],
+            "base_height_target_max": e["base_height_target_range"][1],
+            "foot_clearance_target_max": e["foot_clearance_target_range"][1],
+            "pitch_target_max": e["pitch_target_range"][1],
+            "num_gaits": e["num_gaits"].astype(jnp.float32),
+        }
+
+    # ------------------------------------------------------------------
+    # rewards
+    # ------------------------------------------------------------------
+
+    def _reward_quad_periodic_gait(self, ctx):
+        st = ctx.state
+        q_frc = jnp.linalg.norm(ctx.feet_forces, axis=-1)  # (N, 4)
+        q_spd = jnp.linalg.norm(ctx.out.feet_vel, axis=-1)
+        total = jnp.sum(
+            st.extra["exp_C_spd"] * q_spd + st.extra["exp_C_frc"] * q_frc, axis=-1
+        )
+        return jnp.exp(total)
+
+    def _reward_tracking_base_height(self, ctx):
+        target = ctx.state.extra["base_height_target"]
+        rew = jnp.square(ctx.base_height - target)
+        return jnp.exp(-rew / self.cfg.rewards.base_height_tracking_sigma)
+
+    def _reward_tracking_orientation(self, ctx):
+        roll, pitch, _ = hm.get_euler_xyz(ctx.state.physics.base_quat)
+        err = jnp.square(roll) + jnp.square(pitch - ctx.state.extra["pitch_target"])
+        return jnp.exp(-err / self.cfg.rewards.euler_tracking_sigma)
+
+    def _reward_tracking_foot_clearance(self, ctx):
+        r = self.cfg.rewards
+        foot_vel_xy = jnp.linalg.norm(ctx.out.feet_vel[:, :, :2], axis=-1)
+        target = ctx.state.extra["foot_clearance_target"][:, None]
+        err = jnp.sum(
+            foot_vel_xy
+            * jnp.square(ctx.out.feet_pos[:, :, 2] - target - r.foot_height_offset),
+            axis=-1,
+        )
+        return jnp.exp(-err / r.foot_clearance_tracking_sigma)

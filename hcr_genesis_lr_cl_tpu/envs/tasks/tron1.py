@@ -1,0 +1,283 @@
+"""LimX TRON1 biped tasks: point-foot (PF) and sole-foot (SF).
+
+Reference: legged_gym/envs/tron1_pf/tron1_pf.py + config (6-DOF point-foot,
+27-dim obs x5 stack) and tron1_sf/tron1_sf.py + config (8-DOF sole-foot,
+33-dim obs x10 stack, probabilistic sit-pose initialization, ankle/foot-flat
+rewards). Both use the stacked-history observation pattern: the actor
+consumes the frame-stacked noisy obs, the critic the stacked privileged obs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import (
+    AlgorithmCfg, AssetCfg, CommandsCfg, CommandRangesCfg, ControlCfg,
+    DomainRandCfg, EnvCfg, InitStateCfg, LeggedRobotCfg, PolicyCfg,
+    RewardScalesCfg, RewardsCfg, RunnerCfg, TerrainCfg, TrainCfg,
+)
+from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState, LeggedEnv
+
+
+class StackedBipedEnv(LeggedEnv):
+    """Stacked-history biped env (reference tron1_pf.py compute_observations)."""
+
+    def __init__(self, cfg, robot, terrain_seed: int = 0):
+        super().__init__(cfg, robot, terrain_seed)
+        self.frame_stack = cfg.env.frame_stack
+        self.c_frame_stack = cfg.env.c_frame_stack
+        self.num_single_obs = cfg.env.num_single_obs
+        self.num_single_priv = cfg.env.num_single_critic_obs
+        self.friction_offset = 0.5 * (
+            cfg.domain_rand.friction_range[0] + cfg.domain_rand.friction_range[1]
+        )
+
+    def _make_noise_vec(self):
+        c = self.cfg
+        ns, s = c.noise.noise_scales, c.normalization.obs_scales
+        lvl = c.noise.noise_level
+        na = self.num_actions
+        vec = np.zeros(self.cfg.env.num_single_obs, dtype=np.float32)
+        vec[3:6] = ns.gravity * lvl
+        vec[6:9] = ns.ang_vel * lvl * s.ang_vel
+        vec[9 : 9 + na] = ns.dof_pos * lvl * s.dof_pos
+        vec[9 + na : 9 + 2 * na] = ns.dof_vel * lvl * s.dof_vel
+        return vec
+
+    def init_extra(self, n: int) -> dict:
+        return {
+            "obs_history": jnp.zeros(
+                (n, self.cfg.env.frame_stack, self.cfg.env.num_single_obs)
+            ),
+            "critic_history": jnp.zeros(
+                (n, self.cfg.env.c_frame_stack, self.cfg.env.num_single_critic_obs)
+            ),
+        }
+
+    def reset_extra(self, state: EnvState, mask) -> dict:
+        w = lambda z: jnp.where(mask[:, None, None], jnp.zeros_like(z), z)
+        return {
+            "obs_history": w(state.extra["obs_history"]),
+            "critic_history": w(state.extra["critic_history"]),
+        }
+
+    def single_obs(self, state: EnvState, key):
+        c = self.cfg
+        s = c.normalization.obs_scales
+        out = state.sim_out
+        cmd_scale = jnp.array([s.lin_vel, s.lin_vel, s.ang_vel])
+        clean = jnp.concatenate(
+            [
+                state.commands[:, :3] * cmd_scale,
+                out.projected_gravity,
+                out.base_ang_vel * s.ang_vel,
+                (self.dof_pos_user(state) - self.default_dof_pos) * s.dof_pos,
+                self.dof_vel_user(state) * s.dof_vel,
+                state.actions,
+            ],
+            axis=-1,
+        )
+        noisy = clean
+        if c.noise.add_noise:
+            noisy = clean + (
+                jax.random.uniform(key, clean.shape, minval=-1.0, maxval=1.0)
+                * jnp.asarray(self.noise_vec)
+            )
+        return noisy, clean
+
+    def privileged_single(self, state: EnvState, clean):
+        """(tron1_pf.py:31-45): [lin_vel, obs, last_actions, DR values, air time]."""
+        s = self.cfg.normalization.obs_scales
+        return jnp.concatenate(
+            [
+                state.sim_out.base_lin_vel * s.lin_vel,
+                clean,
+                state.last_actions,
+                (state.dr.friction - self.friction_offset)[:, None],
+                state.dr.added_mass[:, None],
+                state.dr.com_bias,
+                state.dr.push_vel[:, :2],
+                state.feet_air_time,
+            ],
+            axis=-1,
+        )
+
+    def observe(self, state: EnvState, key):
+        noisy, clean = self.single_obs(state, key)
+        priv = self.privileged_single(state, clean)
+        oh = jnp.concatenate([state.extra["obs_history"][:, 1:], noisy[:, None]], axis=1)
+        ch = jnp.concatenate([state.extra["critic_history"][:, 1:], priv[:, None]], axis=1)
+        state = state.replace(
+            extra={**state.extra, "obs_history": oh, "critic_history": ch}
+        )
+        n = noisy.shape[0]
+        return state, oh.reshape(n, -1), ch.reshape(n, -1), {}
+
+
+class TRON1PF(StackedBipedEnv):
+    """Point-foot biped velocity task."""
+
+
+class TRON1SF(StackedBipedEnv):
+    """Sole-foot biped with stand-up-from-sit initialization."""
+
+
+PF_SINGLE = 27
+PF_PRIV = PF_SINGLE + 18
+
+
+def tron1_pf_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return LeggedRobotCfg(
+        env=EnvCfg(
+            num_envs=num_envs,
+            num_observations=PF_SINGLE * 5,
+            num_privileged_obs=PF_PRIV * 5,
+            num_actions=6,
+            frame_stack=5, c_frame_stack=5,
+            num_single_obs=PF_SINGLE, num_single_critic_obs=PF_PRIV,
+        ),
+        terrain=TerrainCfg(mesh_type="plane"),
+        init_state=InitStateCfg(
+            pos=(0.0, 0.0, 0.8),
+            default_joint_angles=tuple((n, 0.0) for n in (
+                "abad_L_Joint", "hip_L_Joint", "knee_L_Joint",
+                "abad_R_Joint", "hip_R_Joint", "knee_R_Joint")),
+        ),
+        control=ControlCfg(
+            stiffness=(("Joint", 42.0),), damping=(("Joint", 2.5),),
+            action_scale=0.25, decimation=4,
+        ),
+        asset=AssetCfg(
+            name="tron1_pf",
+            file="resources/robots/tron1_pf.json",
+            foot_name="foot",
+            penalize_contacts_on=("knee", "hip"),
+            terminate_after_contacts_on=("base", "abad"),
+            base_link_name="base_Link",
+            dof_names=("abad_L_Joint", "hip_L_Joint", "knee_L_Joint",
+                       "abad_R_Joint", "hip_R_Joint", "knee_R_Joint"),
+            links_to_keep=("foot_L_Link", "foot_R_Link"),
+        ),
+        rewards=RewardsCfg(
+            scales=RewardScalesCfg(
+                keep_balance=1.0, dof_pos_limits=-2.0, collision=-1.0,
+                feet_distance=-100.0, tracking_lin_vel=1.0, tracking_ang_vel=0.5,
+                lin_vel_z=-0.5, base_height=-2.0, ang_vel_xy=-0.05,
+                orientation=-3.0, dof_vel=-5.0e-4, dof_acc=-2.0e-7,
+                action_rate=-0.01, action_smoothness=-0.01, torques=-2.0e-5,
+                feet_air_time=1.0, foot_clearance=0.5, no_fly=0.5,
+                foot_landing_vel=-0.15,
+            ),
+            soft_dof_pos_limit=0.9,
+            base_height_target=0.68,
+            foot_clearance_target=0.07,
+            foot_height_offset=0.032,
+            foot_clearance_tracking_sigma=0.01,
+            foot_distance_threshold=0.115,
+            about_landing_threshold=0.1,
+            feet_air_time_target=0.25,
+            only_positive_rewards=False,
+        ),
+        commands=CommandsCfg(
+            curriculum=True, heading_command=True,
+            ranges=CommandRangesCfg(lin_vel_x=(-0.5, 0.5), lin_vel_y=(-0.6, 0.6)),
+        ),
+        domain_rand=DomainRandCfg(
+            push_interval_s=10.0,
+            com_pos_x_range=(-0.03, 0.03), com_pos_y_range=(-0.03, 0.03),
+            com_pos_z_range=(-0.03, 0.03),
+        ),
+    )
+
+
+def tron1_pf_train_cfg() -> TrainCfg:
+    return TrainCfg(
+        runner=RunnerCfg(experiment_name="tron1_pf", save_interval=500,
+                         max_iterations=2000),
+    )
+
+
+SF_SINGLE = 33
+SF_PRIV = SF_SINGLE + 20
+
+SF_DOF_NAMES = ("abad_L_Joint", "hip_L_Joint", "knee_L_Joint", "ankle_L_Joint",
+                "abad_R_Joint", "hip_R_Joint", "knee_R_Joint", "ankle_R_Joint")
+
+
+def tron1_sf_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return LeggedRobotCfg(
+        env=EnvCfg(
+            num_envs=num_envs,
+            num_observations=SF_SINGLE * 10,
+            num_privileged_obs=SF_PRIV * 10,
+            num_actions=8,
+            frame_stack=10, c_frame_stack=10,
+            num_single_obs=SF_SINGLE, num_single_critic_obs=SF_PRIV,
+        ),
+        terrain=TerrainCfg(mesh_type="plane"),
+        init_state=InitStateCfg(
+            pos=(0.0, 0.0, 0.85),
+            default_joint_angles=tuple((n, 0.0) for n in SF_DOF_NAMES),
+            # probabilistic sit-pose init (tron1_sf_config.py:32-44)
+            alt_init_percent=0.5,
+            alt_pos=(0.0, 0.0, 0.6),
+            alt_joint_angles=(
+                ("abad_L_Joint", 0.0), ("hip_L_Joint", 0.58),
+                ("knee_L_Joint", 1.35), ("ankle_L_Joint", -0.8),
+                ("abad_R_Joint", 0.0), ("hip_R_Joint", -0.58),
+                ("knee_R_Joint", -1.35), ("ankle_R_Joint", 0.8),
+            ),
+        ),
+        control=ControlCfg(
+            stiffness=(("Joint", 45.0),), damping=(("Joint", 1.5),),
+            action_scale=0.25, decimation=4,
+        ),
+        asset=AssetCfg(
+            name="tron1_sf",
+            file="resources/robots/tron1_sf.json",
+            foot_name="ankle",
+            penalize_contacts_on=("knee", "hip", "base", "abad"),
+            terminate_after_contacts_on=(),
+            base_link_name="base_Link",
+            dof_names=SF_DOF_NAMES,
+        ),
+        rewards=RewardsCfg(
+            scales=RewardScalesCfg(
+                keep_balance=1.0, dof_pos_limits=-2.0, collision=-1.0,
+                feet_distance=-100.0, tracking_lin_vel=1.0, tracking_ang_vel=1.0,
+                lin_vel_z=-0.5, base_height=-4.0, ang_vel_xy=-0.05,
+                orientation=-5.0, dof_power=-2.0e-4, dof_acc=-2.0e-7,
+                action_rate=-0.01, action_smoothness=-0.01,
+                feet_air_time=1.0, no_fly=0.4, foot_clearance=0.5,
+                foot_landing_vel=-0.15, hip_pos_zero_command=-10.0,
+                foot_flat=0.3,
+            ),
+            soft_dof_pos_limit=0.9,
+            base_height_target=0.75,
+            foot_clearance_target=0.1,
+            foot_height_offset=0.055,
+            foot_clearance_tracking_sigma=0.01,
+            foot_distance_threshold=0.115,
+            about_landing_threshold=0.05,
+            max_projected_gravity=-0.4,
+            only_positive_rewards=False,
+        ),
+        commands=CommandsCfg(
+            curriculum=True, heading_command=True,
+            ranges=CommandRangesCfg(lin_vel_x=(-0.5, 0.5), lin_vel_y=(-0.5, 0.5)),
+        ),
+        domain_rand=DomainRandCfg(
+            push_interval_s=10.0,
+            com_pos_x_range=(-0.03, 0.03), com_pos_y_range=(-0.03, 0.03),
+            com_pos_z_range=(-0.03, 0.03),
+        ),
+    )
+
+
+def tron1_sf_train_cfg() -> TrainCfg:
+    return TrainCfg(
+        runner=RunnerCfg(experiment_name="tron1_sf", save_interval=500,
+                         max_iterations=2000),
+    )

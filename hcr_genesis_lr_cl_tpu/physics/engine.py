@@ -75,6 +75,7 @@ class SimOutputs:
     projected_gravity: jnp.ndarray  # (N, 3) unit gravity in base frame
     feet_pos: jnp.ndarray  # (N, nf, 3) world
     feet_vel: jnp.ndarray  # (N, nf, 3) world
+    feet_rot: jnp.ndarray  # (N, nf, 3, 3) site->world rotations
     link_contact_forces: jnp.ndarray  # (N, num_slots, 3) world
     torques: jnp.ndarray  # (N, na) applied joint torques, user order
     body_pos: jnp.ndarray  # (N, nb, 3) world body origins
@@ -276,6 +277,7 @@ def step(
         kin.v_b[:, site_body, :3], model.site_offset[None]
     )
     feet_vel = jnp.einsum("nfij,nfj->nfi", kin.R_w[:, site_body], v_site_local)
+    feet_rot = jnp.einsum("nfij,fjk->nfik", kin.R_w[:, site_body], model.site_rot)
     tau_last_user = taus[-1][:, user_idx]
     return state, SimOutputs(
         base_lin_vel=state.v_base[:, 3:],
@@ -283,6 +285,7 @@ def step(
         projected_gravity=proj_grav,
         feet_pos=feet_pos,
         feet_vel=feet_vel,
+        feet_rot=feet_rot,
         link_contact_forces=slots[-1],
         torques=tau_last_user,
         body_pos=kin.p_w,

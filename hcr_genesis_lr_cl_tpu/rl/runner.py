@@ -139,11 +139,14 @@ class OnPolicyRunner:
         ppo_state, info = self.alg.update(st.ppo, batch, returns, advantages)
         st = st.replace(ppo=ppo_state)
         cnt = jnp.maximum(jnp.sum(metrics["reset_count"]), 1.0)
-        ep_metrics = {
-            k: jnp.sum(v * metrics["reset_count"]) / cnt
-            for k, v in metrics.items()
-            if k not in ("reset_count",)
-        }
+        ep_metrics = {}
+        for k, v in metrics.items():
+            if k == "reset_count":
+                continue
+            if k.startswith("cstr_"):  # per-step constraint fracs: plain mean
+                ep_metrics[k] = v.mean()
+            else:  # episode metrics: weighted by resets in each step
+                ep_metrics[k] = jnp.sum(v * metrics["reset_count"]) / cnt
         ep_metrics["episode_resets"] = jnp.sum(metrics["reset_count"])
         ep_metrics["mean_step_reward"] = jnp.mean(rews)
         ep_metrics["noise_std"] = jnp.mean(jnp.exp(st.ppo.params["params"]["log_std"]))

@@ -1,0 +1,45 @@
+"""Functional Constraints-as-Terminations machinery.
+
+Pure-function rewrite of the reference's stateful ConstraintManager
+(`legged_gym/utils/constraint_manager.py:3-106`): the Polyak-averaged running
+max of each constraint's violation lives in the env-state carry; termination
+probabilities scale from min_p to each constraint's max_p with normalized
+violation, and combine across constraints with a max (get_probs :67-71).
+
+Under a sharded env batch, the batch max lowers to a cross-device reduction,
+reproducing the reference's single-device global max semantics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+
+def update_constraints(
+    violations: Dict[str, jnp.ndarray],  # name -> (N,) float violations (>0 = violated)
+    max_ps: Dict[str, float],
+    running_max: jnp.ndarray,  # (n_constraints,) Polyak state, ordered by sorted name
+    tau: float,
+    min_p: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Returns (termination_prob (N,), new_running_max, per-constraint active fracs)."""
+    names = sorted(violations)
+    probs = []
+    new_max = []
+    fracs = {}
+    for i, name in enumerate(names):
+        v = violations[name].astype(jnp.float32)
+        batch_max = jnp.maximum(jnp.max(v), 1e-6)
+        rm = tau * running_max[i] + (1.0 - tau) * batch_max
+        p = jnp.where(
+            v > 0.0,
+            min_p + jnp.clip(v / rm, 0.0, 1.0) * (max_ps[name] - min_p),
+            0.0,
+        )
+        probs.append(p)
+        new_max.append(rm)
+        fracs[f"cstr_{name}"] = jnp.mean((v > 0.0).astype(jnp.float32))
+    prob = jnp.max(jnp.stack(probs, axis=-1), axis=-1)
+    return prob, jnp.stack(new_max), fracs

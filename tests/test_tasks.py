@@ -1,0 +1,72 @@
+"""Every registered task steps inside jit with finite outputs and the
+expected observation dims; short PPO smoke-train for the new task families."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcr_genesis_lr_cl_tpu.envs import registry
+from hcr_genesis_lr_cl_tpu.rl.runner import make_runner
+
+ALL_TASKS = registry.task_names()
+
+
+class TestAllTasks:
+    @pytest.mark.parametrize("task", ALL_TASKS)
+    def test_step_finite(self, task):
+        env = registry.make_env(task, num_envs=4)
+        state = env.init(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        for _ in range(3):
+            state, out = step(state, jnp.zeros((4, env.num_actions)))
+        assert out.obs.shape == (4, env.cfg.env.num_observations)
+        assert bool(jnp.all(jnp.isfinite(out.obs)))
+        assert bool(jnp.all(jnp.isfinite(out.rew)))
+        if env.cfg.env.num_privileged_obs:
+            assert out.privileged_obs.shape == (4, env.cfg.env.num_privileged_obs)
+
+
+class TestNewFamilies:
+    def test_wtw_trains(self):
+        env = registry.make_env("go2_wtw", num_envs=8)
+        _, tcfg = registry.get_cfgs("go2_wtw")
+        tcfg = tcfg.replace(
+            runner=tcfg.runner.replace(num_steps_per_env=4),
+            algorithm=tcfg.algorithm.replace(num_learning_epochs=1, num_mini_batches=2),
+        )
+        runner = make_runner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        st, info = jax.jit(runner.train_iteration)(st)
+        assert np.isfinite(float(info["loss"]))
+        assert "num_gaits" in info
+
+    def test_cat_discounts_reward(self):
+        env = registry.make_env("go2_cat", num_envs=8)
+        state = env.init(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        for _ in range(3):
+            state, out = step(state, jnp.zeros((8, 12)))
+        assert "cstr_prob" in state.extra
+        assert bool(jnp.all(state.extra["cstr_prob"] >= 0.0))
+        assert bool(jnp.all(state.extra["cstr_prob"] <= 1.0))
+        assert float(state.extra["cstr_running_max"].min()) > 0.0
+        assert "cstr_collision" in out.metrics
+
+    def test_tron1_sf_sit_init(self):
+        env = registry.make_env("tron1_sf", num_envs=64)
+        state = env.init(jax.random.PRNGKey(0))
+        # roughly half the envs start in the sit pose (knee at +-1.35)
+        knee = np.asarray(env.dof_pos_user(state))[:, 2]
+        n_sit = int(np.sum(np.abs(knee - 1.35) < 0.05))
+        assert 10 < n_sit < 54
+
+    def test_wtw_gait_clock_advances(self):
+        env = registry.make_env("go2_wtw", num_envs=4)
+        state = env.init(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        state, _ = step(state, jnp.zeros((4, 12)))
+        p1 = np.asarray(state.extra["phi"]).copy()
+        state, _ = step(state, jnp.zeros((4, 12)))
+        p2 = np.asarray(state.extra["phi"])
+        assert np.all(p2 > p1)
