@@ -22,4 +22,13 @@ there is no host round-trip in the hot loop.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU MXU defaults matmuls to bf16 inputs; rigid-body dynamics chains and the
+# iLQR backward pass are ill-conditioned enough that this breaks descent
+# (measured: line search rejects every step at bf16). Physics correctness
+# needs full f32. Hot NN matmuls that tolerate bf16 can opt back in locally
+# with jax.default_matmul_precision("default").
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from hcr_genesis_lr_cl_tpu.core import config  # noqa: F401

@@ -197,6 +197,12 @@ class RewardScalesCfg(_Cfg):
     # periodic-gait terms (go2_wtw.py:472, tron1_pf_ee.py:426)
     quad_periodic_gait: float = 0.0
     biped_periodic_gait: float = 0.0
+    # nav terms (legged_robot_nav.py:486-686)
+    tracking_target_pos: float = 0.0
+    tracking_target_orientation: float = 0.0
+    base_acc: float = 0.0
+    stall: float = 0.0
+    nav_stand_still: float = 0.0
     # wtw extra shaping
     tracking_base_height: float = 0.0
     tracking_orientation: float = 0.0
@@ -255,6 +261,12 @@ class RewardsCfg(_Cfg):
     max_projected_gravity: float = -0.1  # termination condition
     foot_distance_threshold: float = 0.115  # biped feet-too-close penalty
     feet_air_time_target: float = 0.3  # seconds (tron1 uses 0.25)
+    # nav (go2_nav_config.py:90-100)
+    tracking_duration_pos_s: float = 4.0
+    tracking_duration_orientation_s: float = 6.0
+    pos_error_threshold: float = 2.0
+    stall_distance_threshold: float = 1.0
+    stall_velocity_threshold: float = 0.1
 
 
 @dataclass(frozen=True)

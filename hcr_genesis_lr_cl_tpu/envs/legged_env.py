@@ -177,7 +177,10 @@ class LeggedEnv:
 
         self.noise_vec = self._make_noise_vec()
         self.max_episode_length = cfg.max_episode_length
-        self.resampling_interval = max(1, int(cfg.commands.resampling_time / self.dt))
+        # clamp to int32-safe; "never" == longer than any episode
+        self.resampling_interval = int(
+            min(max(1, cfg.commands.resampling_time / self.dt), 1_000_000)
+        )
         self.push_interval = cfg.push_interval
         self.max_delay = cfg.domain_rand.ctrl_delay_step_range[1]
 

@@ -69,6 +69,10 @@ def _register_builtin():
 
     register("go2_wtw", go2_wtw.Go2WTW, go2_wtw.go2_wtw_cfg, go2_wtw.go2_wtw_train_cfg)
 
+    from hcr_genesis_lr_cl_tpu.envs.tasks import go2_nav
+
+    register("go2_nav", go2_nav.Go2Nav, go2_nav.go2_nav_cfg, go2_nav.go2_nav_train_cfg)
+
     from hcr_genesis_lr_cl_tpu.envs.tasks import bipedal_walker, tron1
 
     register("tron1_pf", tron1.TRON1PF, tron1.tron1_pf_cfg, tron1.tron1_pf_train_cfg)

@@ -1,0 +1,257 @@
+"""GO2Nav: position-goal navigation (reference legged_robot_nav.py + go2_nav).
+
+Command = [target xy in base frame, heading error, time-left] (4 active dims
+of the reference's 5-slot command, legged_robot_nav_config.py:43-52),
+recomputed in the base frame every step (:294-312). Position/orientation
+tracking rewards activate only in the last N seconds of the episode
+(:567-585); stall/stand-still penalties regularize the approach.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import (
+    CommandsCfg, CommandRangesCfg, EnvCfg, LeggedRobotCfg, RewardScalesCfg,
+    RewardsCfg, RunnerCfg, TrainCfg,
+)
+from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState
+from hcr_genesis_lr_cl_tpu.envs.tasks import go2 as go2_task
+from hcr_genesis_lr_cl_tpu.envs.tasks import go2_rough
+from hcr_genesis_lr_cl_tpu.utils import math as hm
+
+
+def go2_nav_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return LeggedRobotCfg(
+        env=EnvCfg(
+            num_envs=num_envs,
+            num_observations=49 + 187,
+            num_privileged_obs=68 + 187,
+            num_actions=12,
+            episode_length_s=8.0,
+        ),
+        terrain=go2_rough.rough_terrain_cfg(
+            measured_points_x=tuple(np.round(np.arange(-0.8, 0.81, 0.1), 2)),
+            measured_points_y=tuple(np.round(np.arange(-0.5, 0.51, 0.1), 2)),
+        ),
+        init_state=go2_task.go2_init_state(),
+        control=go2_task.go2_control(),
+        asset=go2_rough.go2_rough_asset(),
+        rewards=RewardsCfg(
+            scales=RewardScalesCfg(
+                termination=-200.0, dof_pos_limits=-5.0, dof_vel_limits=-1.0,
+                torque_limits=-0.5, collision=-1.0,
+                tracking_target_pos=10.0, tracking_target_orientation=5.0,
+                base_acc=-4.0e-4, lin_vel_z=-1.0, dof_power=-4.0e-4,
+                dof_acc=-1.0e-7, action_rate=-0.01, action_smoothness=-0.01,
+                feet_stumble=-1.0, stall=-1.0, nav_stand_still=-1.0,
+            ),
+            soft_dof_pos_limit=0.9, soft_dof_vel_limit=0.9, soft_torque_limit=0.9,
+            base_height_target=0.35,
+            tracking_duration_pos_s=4.0,
+            tracking_duration_orientation_s=6.0,
+            pos_error_threshold=2.0,
+            stall_distance_threshold=1.0,
+            stall_velocity_threshold=0.1,
+            only_positive_rewards=False,
+        ),
+        commands=CommandsCfg(
+            curriculum=False, num_commands=4, heading_command=False,
+            resampling_time=1e9,  # goals persist for the whole episode
+            ranges=CommandRangesCfg(),
+        ),
+        domain_rand=go2_rough.rough_domain_rand(),
+    )
+
+
+def go2_nav_train_cfg() -> TrainCfg:
+    return TrainCfg(runner=RunnerCfg(experiment_name="go2_nav", max_iterations=3000))
+
+
+NAV_POS_RANGE = (-6.0, 6.0)
+NAV_DEFAULT_Z = 0.34
+
+
+class Go2Nav(go2_rough.Go2Rough):
+    """Navigation task: world-frame goal carried in extra, commands updated
+    in the base frame each step."""
+
+    def init_extra(self, n: int) -> dict:
+        return {
+            "target_pos_world": jnp.zeros((n, 3)),
+            "target_heading": jnp.zeros((n,)),
+            "last_base_lin_vel": jnp.zeros((n, 3)),
+            "last_base_ang_vel": jnp.zeros((n, 3)),
+        }
+
+    def reset_extra(self, state: EnvState, mask) -> dict:
+        w = lambda z: jnp.where(mask[:, None] if z.ndim > 1 else mask, jnp.zeros_like(z), z)
+        e = dict(state.extra)
+        e["last_base_lin_vel"] = w(e["last_base_lin_vel"])
+        e["last_base_ang_vel"] = w(e["last_base_ang_vel"])
+        return e
+
+    def _resample_commands(self, state: EnvState, mask, key) -> EnvState:
+        """Sample world-frame goals near the base (legged_robot_nav.py:313-354)."""
+        n = self.num_envs
+        ks = jax.random.split(key, 3)
+        base_xy = state.physics.base_pos[:, :2]
+        gx = base_xy[:, 0] + jax.random.uniform(ks[0], (n,), minval=NAV_POS_RANGE[0], maxval=NAV_POS_RANGE[1])
+        gy = base_xy[:, 1] + jax.random.uniform(ks[1], (n,), minval=NAV_POS_RANGE[0], maxval=NAV_POS_RANGE[1])
+        gz = self.terrain.height(gx, gy) + NAV_DEFAULT_Z
+        target = jnp.stack([gx, gy, gz], axis=-1)
+        heading = jax.random.uniform(ks[2], (n,), minval=-3.14, maxval=3.14)
+        e = state.extra
+        target = jnp.where(mask[:, None], target, e["target_pos_world"])
+        heading = jnp.where(mask, heading, e["target_heading"])
+        cmds = self._commands_from_target(state, target, heading, reset_time=mask)
+        return state.replace(
+            commands=cmds,
+            extra={**e, "target_pos_world": target, "target_heading": heading},
+        )
+
+    def _commands_from_target(self, state, target, heading, reset_time=None):
+        tp_base = hm.quat_rotate_inverse(
+            state.physics.base_quat, target - state.physics.base_pos
+        )
+        _, _, yaw = hm.get_euler_xyz(state.physics.base_quat)
+        herr = hm.wrap_to_pi(heading - yaw)
+        time_left = state.commands[:, 3] - self.dt
+        if reset_time is not None:
+            time_left = jnp.where(
+                reset_time, self.cfg.rewards.tracking_duration_pos_s, time_left
+            )
+        time_left = jnp.maximum(time_left, 0.0)
+        return jnp.stack([tp_base[:, 0], tp_base[:, 1], herr, time_left], axis=-1)
+
+    def post_physics_extra(self, state: EnvState) -> EnvState:
+        e = state.extra
+        cmds = self._commands_from_target(state, e["target_pos_world"], e["target_heading"])
+        return state.replace(commands=cmds)
+
+    def step(self, state, actions):
+        # snapshot base velocities for the base_acc penalty
+        state = state.replace(
+            extra={
+                **state.extra,
+                "last_base_lin_vel": state.sim_out.base_lin_vel,
+                "last_base_ang_vel": state.sim_out.base_ang_vel,
+            }
+        )
+        return super().step(state, actions)
+
+    def _make_noise_vec(self) -> np.ndarray:
+        c = self.cfg
+        ns, s = c.noise.noise_scales, c.normalization.obs_scales
+        lvl = c.noise.noise_level
+        na = self.num_actions
+        vec = np.zeros(c.env.num_observations, dtype=np.float32)
+        vec[0:3] = ns.lin_vel * lvl * s.lin_vel
+        vec[3:6] = ns.ang_vel * lvl * s.ang_vel
+        vec[6:9] = ns.gravity * lvl
+        vec[13 : 13 + na] = ns.dof_pos * lvl * s.dof_pos
+        vec[13 + na : 13 + 2 * na] = ns.dof_vel * lvl * s.dof_vel
+        if c.terrain.measure_heights:
+            vec[13 + 3 * na :] = ns.height_measurements * lvl * s.height_measurements
+        return vec
+
+    def compute_observations(self, state: EnvState, key):
+        c = self.cfg
+        s = c.normalization.obs_scales
+        out = state.sim_out
+        parts = [
+            out.base_lin_vel * s.lin_vel,
+            out.base_ang_vel * s.ang_vel,
+            out.projected_gravity,
+            state.commands,  # [x, y, heading_err, time_left]
+            (self.dof_pos_user(state) - self.default_dof_pos) * s.dof_pos,
+            self.dof_vel_user(state) * s.dof_vel,
+            state.actions,
+        ]
+        if c.terrain.measure_heights:
+            heights = jnp.clip(
+                state.physics.base_pos[:, 2:3] - 0.3 - state.measured_hts, -1.0, 1.0
+            ) * s.height_measurements
+            parts.append(heights)
+        obs = jnp.concatenate(parts, axis=-1)
+        if c.noise.add_noise:
+            obs = obs + (
+                jax.random.uniform(key, obs.shape, minval=-1.0, maxval=1.0)
+                * jnp.asarray(self.noise_vec)
+            )
+        priv = jnp.concatenate(
+            [
+                obs,
+                state.last_actions,
+                state.dr.friction[:, None],
+                state.dr.added_mass[:, None],
+                state.dr.com_bias,
+                state.dr.push_vel[:, :2],
+            ],
+            axis=-1,
+        )
+        return obs, priv
+
+    # ---- nav rewards (legged_robot_nav.py:486-686) ----
+
+    def _reward_tracking_target_pos(self, ctx):
+        r = self.cfg.rewards
+        st = ctx.state
+        t = st.episode_length.astype(jnp.float32) * self.dt
+        active = t > (self.cfg.env.episode_length_s - r.tracking_duration_pos_s)
+        err = jnp.sum(
+            jnp.square(st.extra["target_pos_world"] - st.physics.base_pos), axis=-1
+        )
+        return (1.0 / r.tracking_duration_pos_s) / (1.0 + err) * active
+
+    def _reward_tracking_target_orientation(self, ctx):
+        r = self.cfg.rewards
+        st = ctx.state
+        t = st.episode_length.astype(jnp.float32) * self.dt
+        active = t > (self.cfg.env.episode_length_s - r.tracking_duration_orientation_s)
+        close = (
+            jnp.linalg.norm(
+                st.extra["target_pos_world"][:, :2] - st.physics.base_pos[:, :2],
+                axis=-1,
+            )
+            < r.pos_error_threshold
+        )
+        _, _, yaw = hm.get_euler_xyz(st.physics.base_quat)
+        herr = hm.wrap_to_pi(st.extra["target_heading"] - yaw)
+        return (
+            (1.0 / r.tracking_duration_orientation_s)
+            / (1.0 + jnp.square(herr)) * active * close
+        )
+
+    def _reward_base_acc(self, ctx):
+        st = ctx.state
+        lin = (ctx.out.base_lin_vel - st.extra["last_base_lin_vel"]) / self.dt
+        ang = (ctx.out.base_ang_vel - st.extra["last_base_ang_vel"]) / self.dt
+        return jnp.sum(jnp.square(lin), axis=-1) + 0.02 * jnp.sum(jnp.square(ang), axis=-1)
+
+    def _reward_stall(self, ctx):
+        r = self.cfg.rewards
+        st = ctx.state
+        far = (
+            jnp.linalg.norm(
+                st.extra["target_pos_world"][:, :2] - st.physics.base_pos[:, :2],
+                axis=-1,
+            )
+            > r.stall_distance_threshold
+        )
+        slow = jnp.linalg.norm(ctx.out.base_lin_vel[:, :2], axis=-1) < r.stall_velocity_threshold
+        return (far & slow).astype(jnp.float32)
+
+    def _reward_nav_stand_still(self, ctx):
+        """Penalize joint motion once the goal is reached."""
+        st = ctx.state
+        close = (
+            jnp.linalg.norm(
+                st.extra["target_pos_world"][:, :2] - st.physics.base_pos[:, :2],
+                axis=-1,
+            )
+            < 0.25
+        )
+        return jnp.sum(jnp.abs(ctx.dof_vel), axis=-1) * close

@@ -26,7 +26,7 @@ from hcr_genesis_lr_cl_tpu.physics import sensors
 
 
 def rough_terrain_cfg(**kw) -> TerrainCfg:
-    return TerrainCfg(
+    base = dict(
         mesh_type="heightfield",
         border_size=20.0,
         curriculum=True,
@@ -40,8 +40,9 @@ def rough_terrain_cfg(**kw) -> TerrainCfg:
         num_rows=10,
         num_cols=10,
         terrain_proportions=(0.2, 0.1, 0.25, 0.25, 0.2),
-        **kw,
     )
+    base.update(kw)
+    return TerrainCfg(**base)
 
 
 def rough_domain_rand() -> DomainRandCfg:

@@ -1,0 +1,168 @@
+"""Deployment policy export: flax params -> TorchScript + ONNX.
+
+Covers the reference's exporter family (helpers.py:174-318: PolicyExporter,
+PolicyExporterTS, PolicyExporterEE, PolicyExporterWaQ): the deployed artifact
+is a CPU torch module (TorchScript .pt + ONNX .onnx, opset 11) with the same
+input signature the reference's deploy stacks expect. Conversion is exact:
+flax Dense kernels transpose into torch Linear weights.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _torch():
+    import torch
+
+    return torch
+
+
+_ACT = {
+    "elu": "ELU",
+    "relu": "ReLU",
+    "selu": "SELU",
+    "tanh": "Tanh",
+    "sigmoid": "Sigmoid",
+    "lrelu": "LeakyReLU",
+}
+
+
+def mlp_to_torch(mlp_params: dict, activation: str = "elu",
+                 final_activation: Optional[str] = None):
+    """Convert a flax MLP param subtree ({Dense_0: {kernel,bias}, ...}) into
+    an equivalent torch.nn.Sequential."""
+    torch = _torch()
+    import torch.nn as nn
+
+    names = sorted(mlp_params.keys(), key=lambda s: int(s.split("_")[1]))
+    layers = []
+    for i, name in enumerate(names):
+        k = np.asarray(mlp_params[name]["kernel"])
+        b = np.asarray(mlp_params[name]["bias"])
+        lin = nn.Linear(k.shape[0], k.shape[1])
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(k.T.copy()))
+            lin.bias.copy_(torch.from_numpy(b.copy()))
+        layers.append(lin)
+        last = i == len(names) - 1
+        if not last:
+            layers.append(getattr(nn, _ACT[activation])())
+        elif final_activation:
+            layers.append(getattr(nn, _ACT[final_activation])())
+    return nn.Sequential(*layers)
+
+
+class _ActorPolicy:
+    """Plain MLP actor: action = actor(obs) (reference PolicyExporter)."""
+
+    def build(self, params, policy_cfg):
+        import torch.nn as nn
+
+        p = params["params"]
+        return mlp_to_torch(p["actor"], policy_cfg.activation)
+
+
+def _export(module, example_inputs, out_dir: str, name: str):
+    torch = _torch()
+    os.makedirs(out_dir, exist_ok=True)
+    module.eval()
+    traced = torch.jit.trace(module, example_inputs)
+    pt_path = os.path.join(out_dir, f"{name}.pt")
+    traced.save(pt_path)
+    onnx_path = os.path.join(out_dir, f"{name}.onnx")
+    try:
+        torch.onnx.export(module, example_inputs, onnx_path, opset_version=11)
+    except Exception as e:  # onnx exporter availability varies
+        onnx_path = None
+        print(f"ONNX export skipped: {e}")
+    return pt_path, onnx_path
+
+
+def export_policy(runner_name: str, params: dict, policy_cfg, env_cfg,
+                  out_dir: str):
+    """Export the deployment policy for the given runner family.
+
+    Returns (torchscript_path, onnx_path)."""
+    torch = _torch()
+    import torch.nn as nn
+
+    p = params["params"]
+    act = policy_cfg.activation
+
+    if runner_name in ("OnPolicyRunner",):
+        actor = mlp_to_torch(p["actor"], act)
+        obs = torch.zeros(1, env_cfg.num_observations)
+        return _export(actor, obs, out_dir, "policy")
+
+    if runner_name in ("TSRunner", "CTSRunner"):
+        # student path: actor(obs ++ history_encoder(obs_history))
+        class Student(nn.Module):
+            def __init__(self, enc, actor):
+                super().__init__()
+                self.enc = enc
+                self.actor = actor
+
+            def forward(self, obs, obs_history):
+                latent = self.enc(obs_history)
+                return self.actor(torch.cat([obs, latent], dim=-1))
+
+        enc = mlp_to_torch(p["history_encoder"], act)
+        actor = mlp_to_torch(p["actor"], act)
+        nso = env_cfg.num_single_obs or env_cfg.num_observations
+        obs = torch.zeros(1, env_cfg.num_observations)
+        hist = torch.zeros(1, nso * env_cfg.frame_stack)
+        return _export(Student(enc, actor), (obs, hist), out_dir, "policy_student")
+
+    if runner_name == "EERunner":
+        class EE(nn.Module):
+            def __init__(self, est, actor):
+                super().__init__()
+                self.est = est
+                self.actor = actor
+
+            def forward(self, features):
+                out = self.est(features)
+                return self.actor(torch.cat([features, out], dim=-1))
+
+        est = mlp_to_torch(p["estimator"], act)
+        actor = mlp_to_torch(p["actor"], act)
+        nso = env_cfg.num_single_obs or env_cfg.num_observations
+        feats = torch.zeros(1, nso * env_cfg.frame_stack)
+        return _export(EE(est, actor), feats, out_dir, "policy_ee")
+
+    if runner_name == "DreamWaQRunner":
+        class WaQ(nn.Module):
+            def __init__(self, encoder, heads, actor):
+                super().__init__()
+                self.encoder = encoder
+                self.latent_mu, self.vel_mu = heads
+                self.actor = actor
+
+            def forward(self, obs, obs_history):
+                h = self.encoder(obs_history)
+                lat = torch.cat([self.latent_mu(h), self.vel_mu(h)], dim=-1)
+                return self.actor(torch.cat([obs, lat], dim=-1))
+
+        vae = p["vae"]
+        encoder = mlp_to_torch(vae["encoder"], act, final_activation=act)
+
+        def head(hp):
+            k = np.asarray(hp["kernel"])
+            lin = nn.Linear(k.shape[0], k.shape[1])
+            with torch.no_grad():
+                lin.weight.copy_(torch.from_numpy(k.T.copy()))
+                lin.bias.copy_(torch.from_numpy(np.asarray(hp["bias"]).copy()))
+            return lin
+
+        heads = (head(vae["latent_mu_l"]), head(vae["vel_mu_l"]))
+        actor = mlp_to_torch(p["actor"], act)
+        nso = env_cfg.num_single_obs or env_cfg.num_observations
+        obs = torch.zeros(1, nso)
+        hist = torch.zeros(1, nso * env_cfg.frame_stack)
+        return _export(WaQ(encoder, heads, actor), (obs, hist), out_dir, "policy_waq")
+
+    raise ValueError(f"no exporter for runner {runner_name}")

@@ -1,0 +1,98 @@
+"""Recurrent actor-critic (LSTM/GRU) + done-masked trajectory handling.
+
+Reference: rsl_rl/modules/actor_critic_recurrent.py (Memory wrapper :92-120,
+per-env hidden reset on done) and rsl_rl/utils/utils.py split_and_pad /
+unpad trajectories. The TPU-native inversion: instead of splitting rollouts
+into padded trajectories for cuDNN, training replays the time-major rollout
+with a lax.scan whose carry is reset where done — numerically identical to
+the reference's masked-trajectory scheme, with zero repacking.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hcr_genesis_lr_cl_tpu.models.networks import MLP
+
+
+class RecurrentCore(nn.Module):
+    """Single-layer LSTM or GRU cell applied step-wise."""
+
+    hidden_size: int = 512
+    rnn_type: str = "lstm"
+
+    def setup(self):
+        if self.rnn_type == "lstm":
+            self.cell = nn.OptimizedLSTMCell(features=self.hidden_size)
+        else:
+            self.cell = nn.GRUCell(features=self.hidden_size)
+
+    def initial_state(self, batch: int):
+        if self.rnn_type == "lstm":
+            z = jnp.zeros((batch, self.hidden_size))
+            return (z, z)
+        return jnp.zeros((batch, self.hidden_size))
+
+    def __call__(self, carry, x):
+        return self.cell(carry, x)
+
+
+class ActorCriticRecurrent(nn.Module):
+    """RNN memory -> MLP heads (reference actor_critic_recurrent.py:40-120)."""
+
+    num_actions: int
+    actor_hidden_dims: Sequence[int] = (256, 256)
+    critic_hidden_dims: Sequence[int] = (256, 256)
+    rnn_hidden_size: int = 512
+    rnn_type: str = "lstm"
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.memory_a = RecurrentCore(self.rnn_hidden_size, self.rnn_type)
+        self.memory_c = RecurrentCore(self.rnn_hidden_size, self.rnn_type)
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.log_std = self.param(
+            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
+        )
+
+    def initial_state(self, batch: int):
+        return {
+            "actor": self.memory_a.initial_state(batch),
+            "critic": self.memory_c.initial_state(batch),
+        }
+
+    def __call__(self, obs, critic_obs, hidden):
+        """One step: returns (mean, value, log_std, new_hidden)."""
+        ha, xa = self.memory_a(hidden["actor"], obs)
+        hc, xc = self.memory_c(hidden["critic"], critic_obs)
+        return (
+            self.actor(xa),
+            self.critic(xc)[..., 0],
+            self.log_std,
+            {"actor": ha, "critic": hc},
+        )
+
+    def unroll(self, obs_seq, critic_obs_seq, dones_seq, hidden0):
+        """Replay a (T, N, ...) rollout, resetting hidden state where done
+        (the reference's split_and_pad_trajectories semantics)."""
+
+        def mask_hidden(h, not_done):
+            return jax.tree.map(lambda x: x * not_done[:, None], h)
+
+        def step(h, inp):
+            obs, cobs, done = inp
+            mean, value, _, h_new = self(obs, cobs, h)
+            # reset hidden AFTER the step for envs that finished here
+            h_new = mask_hidden(h_new, 1.0 - done.astype(obs.dtype))
+            return h_new, (mean, value)
+
+        _, (means, values) = jax.lax.scan(
+            step, hidden0, (obs_seq, critic_obs_seq, dones_seq)
+        )
+        return means, values, self.log_std

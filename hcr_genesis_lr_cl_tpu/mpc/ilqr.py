@@ -64,8 +64,8 @@ def ilqr_solve(
     x0: jnp.ndarray,
     u_init: jnp.ndarray,  # (T, nu)
     n_iters: int = 10,
-    reg: float = 1e-3,
-    alphas=(1.0, 0.5, 0.25, 0.1, 0.03, 0.0),
+    reg: float = 0.5,
+    alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.0),
 ) -> IlqrResult:
     T, nu = u_init.shape
     nx = x0.shape[0]
@@ -94,10 +94,17 @@ def ilqr_solve(
             qx = lx_t + fx_t.T @ vx
             qu = lu_t + fu_t.T @ vx
             qxx = lxx_t + fx_t.T @ vxx @ fx_t
-            quu = luu_t + fu_t.T @ vxx @ fu_t + reg * jnp.eye(nu)
+            # Tassa-style state regularization: gains computed with
+            # (Vxx + mu I) so indefinite Vxx (quaternion cost curvature) and
+            # stiff-contact Jacobians cannot produce ascent directions; the
+            # value recursion itself uses the unregularized quantities.
+            vxx_r = vxx + reg * jnp.eye(nx)
+            quu_r = luu_t + fu_t.T @ vxx_r @ fu_t + reg * jnp.eye(nu)
+            qux_r = lux_t + fu_t.T @ vxx_r @ fx_t
+            quu = luu_t + fu_t.T @ vxx @ fu_t
             qux = lux_t + fu_t.T @ vxx @ fx_t
-            k = -solve_psd(quu, qu)
-            K = -_solve_psd_mat(quu, qux)
+            k = -solve_psd(quu_r, qu)
+            K = -_solve_psd_mat(quu_r, qux_r)
             vx_new = qx + K.T @ quu @ k + K.T @ qu + qux.T @ k
             vxx_new = qxx + K.T @ quu @ K + K.T @ qux + qux.T @ K
             vxx_new = 0.5 * (vxx_new + vxx_new.T)

@@ -1,0 +1,124 @@
+"""Evaluation / deployment-export CLI (reference legged_gym/scripts/play.py).
+
+Headless evaluation: loads the latest (or requested) checkpoint, rolls out a
+small env batch with the deterministic policy, logs robot-0 state series to
+CSV + a 3x3 diagnostic PNG (the reference's interactive plots), and exports
+the deployment policy (TorchScript + ONNX) with --export_policy.
+
+Usage:
+    python -m hcr_genesis_lr_cl_tpu.runtime.play --task go2 \
+        [--num_envs 32] [--steps 500] [--load_run -1] [--checkpoint -1] \
+        [--export_policy] [--logdir_root logs] [--out_dir play_out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="go2")
+    ap.add_argument("--num_envs", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--load_run", default="-1")
+    ap.add_argument("--checkpoint", type=int, default=-1)
+    ap.add_argument("--export_policy", action="store_true")
+    ap.add_argument("--random_policy", action="store_true",
+                    help="skip checkpoint loading (smoke evaluation)")
+    ap.add_argument("--logdir_root", default="logs")
+    ap.add_argument("--out_dir", default="play_out")
+    return ap.parse_args(argv)
+
+
+def play(args):
+    from hcr_genesis_lr_cl_tpu.envs import registry
+    from hcr_genesis_lr_cl_tpu.rl.runner import make_runner
+    from hcr_genesis_lr_cl_tpu.runtime.train import find_checkpoint
+    from hcr_genesis_lr_cl_tpu.utils.logger import Logger
+
+    cfg, tcfg = registry.get_cfgs(args.task, num_envs=min(args.num_envs, 32))
+    # play overrides (reference play.py:11-75): small batch, less terrain,
+    # no pushes/noise for clean evaluation plots
+    cfg = cfg.replace(
+        terrain=cfg.terrain.replace(
+            num_rows=min(cfg.terrain.num_rows, 2),
+            num_cols=min(cfg.terrain.num_cols, 2),
+            curriculum=False,
+            border_size=min(cfg.terrain.border_size, 5.0),
+        ),
+        noise=cfg.noise.replace(add_noise=False),
+        domain_rand=cfg.domain_rand.replace(push_robots=False,
+                                            randomize_friction=False,
+                                            randomize_base_mass=False),
+    )
+    env = registry.make_env(args.task, cfg=cfg)
+    runner = make_runner(env, tcfg)
+    st = runner.init_state(jax.random.PRNGKey(0))
+    if not args.random_policy:
+        exp_dir = os.path.join(args.logdir_root, tcfg.runner.experiment_name)
+        ckpt = find_checkpoint(exp_dir, args.load_run, args.checkpoint)
+        print(f"loading {ckpt}")
+        st = runner.load(st, ckpt)
+
+    if args.export_policy:
+        from hcr_genesis_lr_cl_tpu.models.export import export_policy
+
+        pt, onnx = export_policy(
+            tcfg.runner.runner_class_name, jax.device_get(st.ppo.params),
+            tcfg.policy, cfg.env, os.path.join(args.out_dir, "exported"),
+        )
+        print(f"exported policy: {pt} {onnx}")
+
+    logger = Logger(env.dt)
+    params = st.ppo.params
+
+    @jax.jit
+    def policy_step(env_state, bundle):
+        mean, _, _ = runner.alg.policy_mean_value(params, bundle,
+                                                  jax.random.PRNGKey(0))
+        env_state, out = env.step(env_state, mean)
+        return env_state, out, mean
+
+    env_state, bundle = st.env_state, st.bundle
+    for i in range(args.steps):
+        env_state, out, actions = policy_step(env_state, bundle)
+        priv = out.privileged_obs
+        bundle = runner.make_bundle(out.obs, priv, out.extras)
+        s = jax.device_get(
+            dict(
+                base_vel_x=env_state.sim_out.base_lin_vel[0, 0],
+                base_vel_y=env_state.sim_out.base_lin_vel[0, 1],
+                base_vel_z=env_state.sim_out.base_lin_vel[0, 2],
+                base_vel_yaw=env_state.sim_out.base_ang_vel[0, 2],
+                command_x=env_state.commands[0, 0],
+                command_y=env_state.commands[0, 1],
+                command_yaw=env_state.commands[0, 2],
+                dof_pos=env.dof_pos_user(env_state)[0, 0],
+                dof_pos_target=actions[0, 0] * env.cfg.control.action_scale
+                + env.default_dof_pos[0],
+                dof_vel=env.dof_vel_user(env_state)[0, 0],
+                dof_torque=env_state.sim_out.torques[0, 0],
+                contact_forces_z=env.feet_contact_forces(env_state)[0, :, 2],
+                base_height=env_state.physics.base_pos[0, 2],
+            )
+        )
+        logger.log_states(s)
+        m = jax.device_get(out.metrics)
+        if float(m.get("reset_count", 0.0)):
+            logger.log_rewards(m, int(m["reset_count"]))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    logger.save_csv(os.path.join(args.out_dir, f"{args.task}_states.csv"))
+    logger.plot(os.path.join(args.out_dir, f"{args.task}_states.png"))
+    logger.print_rewards()
+    print(f"play done: logs in {args.out_dir}/")
+
+
+if __name__ == "__main__":
+    play(get_args())

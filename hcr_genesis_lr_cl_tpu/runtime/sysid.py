@@ -1,0 +1,166 @@
+"""Monte-Carlo system identification against real motor logs.
+
+Reference: go2_sysid/go2_sysid.py `system_id_in_air` — sample per-env joint
+damping/friction/armature (+ kp/kd), replay the recorded 200 Hz position
+targets through the fixed-base simulation, score L2 against the real joint
+trajectory, report the argmin parameters.
+
+TPU-native inversion: the parameter search is a single vmap over samples and
+the replay is one lax.scan over the log — the entire search is one jit (the
+reference loops the CSV rows in Python, go2_sysid.py:109-123).
+
+Usage:
+    python -m hcr_genesis_lr_cl_tpu.runtime.sysid [--samples 4096] \
+        [--csv PATH] [--delay_steps 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv as csv_mod
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.physics import dynamics as dyn
+from hcr_genesis_lr_cl_tpu.physics.model import RobotModel
+
+DEFAULT_CSV = "/root/reference/resources/sysid/20250617_motor_response_real_200Hz.csv"
+
+# parameter ranges (reference go2_sysid_config.py:85-97)
+FRICTION_RANGE = (0.0, 0.1)
+DAMPING_RANGE = (0.0, 1.0)
+ARMATURE_RANGE = (0.0, 0.1)
+KP_RANGE = (20.0, 20.0)
+KD_RANGE = (0.5, 0.5)
+
+
+def load_motor_log(path: str, num_dofs: int = 12) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (q_real (T, nd), q_des (T, nd)) at 200 Hz."""
+    with open(path) as f:
+        reader = csv_mod.reader(f)
+        header = next(reader)
+        rows = np.asarray([[float(x) for x in r] for r in reader], dtype=np.float32)
+    qi = [header.index(f"jpos{i}") for i in range(num_dofs)]
+    di = [header.index(f"jpos{i}_des") for i in range(num_dofs)]
+    return rows[:, qi], rows[:, di]
+
+
+def synthetic_motor_log(T: int = 2000, num_dofs: int = 12, seed: int = 0):
+    """Chirp position targets + a plausible second-order response (fallback
+    when the real log is unavailable)."""
+    t = np.arange(T) / 200.0
+    rng = np.random.default_rng(seed)
+    base = np.array(([0.0, 0.8, -1.5] * 4)[:num_dofs], dtype=np.float32)
+    amp = 0.2 * rng.uniform(0.5, 1.0, num_dofs).astype(np.float32)
+    freq = rng.uniform(0.5, 2.0, num_dofs).astype(np.float32)
+    q_des = base + amp * np.sin(2 * np.pi * (freq * t[:, None] + 0.2 * t[:, None] ** 2))
+    q_real = base + amp * 0.95 * np.sin(
+        2 * np.pi * (freq * t[:, None] + 0.2 * t[:, None] ** 2) - 0.15
+    )
+    return q_real.astype(np.float32), q_des.astype(np.float32)
+
+
+def replay_metric(
+    model: RobotModel,
+    q_real: jnp.ndarray,  # (T, na) user order
+    q_des: jnp.ndarray,  # (T, na)
+    kp, kd, damping, friction, armature,  # per-sample scalars/vectors
+    dt: float = 0.005,
+    delay_steps: int = 0,
+):
+    """Fixed-base replay of one parameter sample; returns sum_t |q - q_real|."""
+    uidx = jnp.asarray(model.user_dof_idx)
+    q_des_topo = jnp.zeros((q_des.shape[0], model.nj)).at[:, uidx].set(q_des)
+    q_real_topo = jnp.zeros_like(q_des_topo).at[:, uidx].set(q_real)
+    # fixed base: give the base effectively infinite inertia (exactly the
+    # mechanism validated by the pendulum oracle test)
+    I_body = model.I_body.at[0].set(jnp.eye(6) * 1e12)
+    quat0 = jnp.array([1.0, 0, 0, 0])
+    pos0 = jnp.array([0.0, 0.0, 1.0])
+    q0 = q_real_topo[0]
+
+    def step(carry, inp):
+        q, qd = carry
+        target, q_ref = inp
+        kin = dyn.forward_kinematics(model, quat0, pos0, jnp.zeros(6), q, qd)
+        tau = kp * (target - q) - kd * qd
+        tau = jnp.clip(tau, -model.effort_limit, model.effort_limit)
+        tau = tau - damping * qd - friction * jnp.tanh(qd / 0.1)
+        # gravity acts on the limbs (in-air rig: base clamped, legs swing)
+        a0, qdd = dyn.aba(
+            model, kin, qd, tau, jnp.zeros((model.nb, 6)), I_body=I_body,
+            armature=jnp.full(model.nj, armature),
+            d_implicit=dt * (kd + damping) * jnp.ones(model.nj),
+        )
+        qd = qd + dt * qdd
+        q = q + dt * qd
+        return (q, qd), jnp.linalg.norm(q - q_ref)
+
+    targets = q_des_topo[:-1] if delay_steps == 0 else q_des_topo[: -(1 + delay_steps)]
+    refs = q_real_topo[1 + delay_steps :]
+    (_, _), errs = jax.lax.scan(step, (q0, jnp.zeros(model.nj)), (targets, refs))
+    return errs.sum()
+
+
+def run_sysid(model: RobotModel, q_real, q_des, n_samples: int, key,
+              delay_steps: int = 0, dt: float = 0.005):
+    ks = jax.random.split(key, 5)
+    u = lambda k, r: jax.random.uniform(k, (n_samples,), minval=r[0], maxval=r[1])
+    kp = u(ks[0], KP_RANGE)
+    kd = u(ks[1], KD_RANGE)
+    damping = u(ks[2], DAMPING_RANGE)
+    friction = u(ks[3], FRICTION_RANGE)
+    armature = u(ks[4], ARMATURE_RANGE)
+
+    metric_fn = jax.jit(
+        jax.vmap(
+            lambda kp_, kd_, d_, f_, a_: replay_metric(
+                model, jnp.asarray(q_real), jnp.asarray(q_des),
+                kp_, kd_, d_, f_, a_, dt=dt, delay_steps=delay_steps,
+            )
+        )
+    )
+    metrics = metric_fn(kp, kd, damping, friction, armature)
+    i = int(jnp.argmin(metrics))
+    return {
+        "damping": float(damping[i]),
+        "friction": float(friction[i]),
+        "armature": float(armature[i]),
+        "kp": float(kp[i]),
+        "kd": float(kd[i]),
+        "metric": float(metrics[i]),
+        "metric_mean": float(metrics.mean()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=4096)
+    ap.add_argument("--csv", default=DEFAULT_CSV)
+    ap.add_argument("--delay_steps", type=int, default=0)
+    ap.add_argument("--max_rows", type=int, default=4000)
+    args = ap.parse_args()
+
+    from hcr_genesis_lr_cl_tpu.envs import registry
+
+    env = registry.make_env("go2", num_envs=1)
+    if os.path.exists(args.csv):
+        q_real, q_des = load_motor_log(args.csv)
+        print(f"loaded {args.csv}: {q_real.shape[0]} rows")
+    else:
+        q_real, q_des = synthetic_motor_log()
+        print("real motor log unavailable; using synthetic chirp data")
+    q_real, q_des = q_real[: args.max_rows], q_des[: args.max_rows]
+    best = run_sysid(env.model, q_real, q_des, args.samples, jax.random.PRNGKey(0),
+                     delay_steps=args.delay_steps)
+    print("best parameters:")
+    for k, v in best.items():
+        print(f"  {k}: {v:.5f}")
+
+
+if __name__ == "__main__":
+    main()

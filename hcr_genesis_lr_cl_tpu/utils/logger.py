@@ -1,0 +1,87 @@
+"""Play-time state logging (reference legged_gym/utils/logger.py).
+
+Collects per-step state/reward time series for one robot + batch episode
+metrics, then renders the reference's 3x3 diagnostic plot grid to a PNG
+(instead of an interactive matplotlib subprocess) and exports the raw series
+to CSV (instead of xlsx; same columns as QuadLogger:183-202)."""
+
+from __future__ import annotations
+
+import csv
+import os
+from collections import defaultdict
+
+import numpy as np
+
+
+class Logger:
+    def __init__(self, dt: float):
+        self.dt = dt
+        self.state_log = defaultdict(list)
+        self.rew_log = defaultdict(list)
+        self.num_episodes = 0
+
+    def log_state(self, key, value):
+        self.state_log[key].append(np.asarray(value))
+
+    def log_states(self, d: dict):
+        for k, v in d.items():
+            self.log_state(k, v)
+
+    def log_rewards(self, d: dict, num_episodes: int):
+        for k, v in d.items():
+            if k.startswith("rew_"):
+                self.rew_log[k].append(float(v) * num_episodes)
+        self.num_episodes += num_episodes
+
+    def save_csv(self, path: str):
+        keys = list(self.state_log.keys())
+        rows = max(len(v) for v in self.state_log.values()) if keys else 0
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["t"] + keys)
+            for i in range(rows):
+                row = [i * self.dt]
+                for k in keys:
+                    v = self.state_log[k]
+                    row.append(float(np.ravel(v[i])[0]) if i < len(v) else "")
+                w.writerow(row)
+
+    def plot(self, path: str):
+        """3x3 grid (reference logger.py:51-166): velocities + tracking,
+        torques, contacts."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        log = self.state_log
+        t = np.arange(max(len(v) for v in log.values())) * self.dt if log else []
+        fig, axs = plt.subplots(3, 3, figsize=(15, 10))
+        panels = [
+            ("base_vel_x", "command_x", "base lin vel x [m/s]"),
+            ("base_vel_y", "command_y", "base lin vel y [m/s]"),
+            ("base_vel_yaw", "command_yaw", "base ang vel yaw [rad/s]"),
+            ("base_vel_z", None, "base lin vel z [m/s]"),
+            ("dof_pos", "dof_pos_target", "dof pos [rad]"),
+            ("dof_vel", None, "dof vel [rad/s]"),
+            ("dof_torque", None, "torque [Nm]"),
+            ("contact_forces_z", None, "feet contact force z [N]"),
+            ("base_height", None, "base height [m]"),
+        ]
+        for ax, (key, key2, title) in zip(axs.ravel(), panels):
+            if key in log:
+                ax.plot(t[: len(log[key])], np.stack(log[key]).reshape(len(log[key]), -1))
+            if key2 and key2 in log:
+                ax.plot(t[: len(log[key2])], np.stack(log[key2]).reshape(len(log[key2]), -1), "--")
+            ax.set_title(title)
+        fig.tight_layout()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
+
+    def print_rewards(self):
+        print("Average rewards per second:")
+        for k, v in self.rew_log.items():
+            print(f"  {k}: {np.sum(np.array(v)) / max(self.num_episodes, 1):.4f}")
