@@ -176,6 +176,19 @@ class LeggedEnv:
         self.n_terms = len(self.reward_names)
 
         self.noise_vec = self._make_noise_vec()
+        # physics path: fused Pallas kernel on TPU for flat-plane tasks
+        # without per-env joint-property DR (ops/substep_kernel.py); XLA scan
+        # otherwise
+        pallas_ok = not (
+            cfg.domain_rand.randomize_joint_armature
+            or cfg.domain_rand.randomize_joint_friction
+            or cfg.domain_rand.randomize_joint_damping
+            or cfg.asset.armature
+        )
+        self.stepper = eng.make_stepper(
+            self.model, self.terrain, cfg.sim, cfg.control, self.gains,
+            use_pallas=None if pallas_ok else False,
+        )
         self.max_episode_length = cfg.max_episode_length
         # clamp to int32-safe; "never" == longer than any episode
         self.resampling_interval = int(
@@ -465,10 +478,7 @@ class LeggedEnv:
             applied = actions
 
         # ---- physics ----
-        physics, sim_out = eng.step(
-            self.model, self.terrain, c.sim, c.control, self.gains,
-            state.physics, state.dr, applied,
-        )
+        physics, sim_out = self.stepper(state.physics, state.dr, applied)
         state = state.replace(
             physics=physics, sim_out=sim_out,
             episode_length=state.episode_length + 1,

@@ -54,14 +54,15 @@ def default_x0(env, mm, height=0.32):
 
 
 def make_solver(env, mm, weights: mcosts.CostWeights, horizon: int,
-                n_iters: int = 3):
+                n_iters: int = 3, alphas=(1.0, 0.1, 0.01, 0.0), lin_chunk: int = 10):
     """Batched solver: (x0 (S,nx), params CostParams (S,...), us (S,T,nu))."""
 
     def solve_one(x0, p, u_init):
         dyn = lambda x, u: mdyn.step(mm, x, u)
         cost = lambda x, u, up, t: mcosts.stage_cost(mm, weights, p, x, u, up, t)
         term = lambda x: mcosts.terminal_cost(mm, weights, p, x)
-        return ilqr.ilqr_solve(dyn, cost, term, x0, u_init, n_iters=n_iters)
+        return ilqr.ilqr_solve(dyn, cost, term, x0, u_init, n_iters=n_iters,
+                               alphas=alphas, lin_chunk=lin_chunk)
 
     return jax.jit(jax.vmap(solve_one))
 
@@ -94,8 +95,8 @@ def sample_scenarios(key, env, mm, n: int, vx_range=(-0.5, 0.8)):
 
 
 def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
-                   use_gait=False):
-    env, mm = make_go2_mpc()
+                   use_gait=False, substeps=4):
+    env, mm = make_go2_mpc(substeps=substeps)
     w = mcosts.CostWeights(gait=1.0 if use_gait else 0.0)
     solver = make_solver(env, mm, w, horizon, n_iters=n_iters)
     x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)

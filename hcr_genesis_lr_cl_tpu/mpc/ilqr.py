@@ -66,22 +66,30 @@ def ilqr_solve(
     n_iters: int = 10,
     reg: float = 0.5,
     alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.0),
+    lin_chunk: int = 10,
 ) -> IlqrResult:
     T, nu = u_init.shape
     nx = x0.shape[0]
     ts = jnp.arange(T)
     alphas = jnp.asarray(alphas)
 
+    def _lin_knot(args):
+        x, u, up, t = args
+        fx = jax.jacfwd(dyn, argnums=0)(x, u)
+        fu = jax.jacfwd(dyn, argnums=1)(x, u)
+        lx = jax.grad(cost, argnums=0)(x, u, up, t)
+        lu = jax.grad(cost, argnums=1)(x, u, up, t)
+        lxx = jax.hessian(cost, argnums=0)(x, u, up, t)
+        luu = jax.hessian(cost, argnums=1)(x, u, up, t)
+        lux = jax.jacfwd(jax.grad(cost, argnums=1), argnums=0)(x, u, up, t)
+        return fx, fu, lx, lu, lxx, luu, lux
+
     def linearize(xs, us, u_prev):
-        fx = jax.vmap(jax.jacfwd(dyn, argnums=0))(xs[:-1], us)  # (T, nx, nx)
-        fu = jax.vmap(jax.jacfwd(dyn, argnums=1))(xs[:-1], us)  # (T, nx, nu)
-        # cost derivatives (Gauss-Newton-free exact Hessians of the stage cost)
-        lx = jax.vmap(jax.grad(cost, argnums=0))(xs[:-1], us, u_prev, ts)
-        lu = jax.vmap(jax.grad(cost, argnums=1))(xs[:-1], us, u_prev, ts)
-        lxx = jax.vmap(jax.hessian(cost, argnums=0))(xs[:-1], us, u_prev, ts)
-        luu = jax.vmap(jax.hessian(cost, argnums=1))(xs[:-1], us, u_prev, ts)
-        lux = jax.vmap(jax.jacfwd(jax.grad(cost, argnums=1), argnums=0))(
-            xs[:-1], us, u_prev, ts
+        # chunked over knots (lax.map) so the jacfwd/hessian temporaries of
+        # only `lin_chunk` knots are live at once — the full-T vmap OOMs at
+        # 4096 scenarios x T=50 on a 16 GB chip
+        fx, fu, lx, lu, lxx, luu, lux = jax.lax.map(
+            _lin_knot, (xs[:-1], us, u_prev, ts), batch_size=lin_chunk
         )
         vx_T = jax.grad(term_cost)(xs[-1])
         vxx_T = jax.hessian(term_cost)(xs[-1])

@@ -1,0 +1,246 @@
+"""Structure-of-arrays spatial algebra for the fused Pallas substep kernel.
+
+Every quantity is decomposed into Python containers of (B,)-shaped arrays
+(one lane-vector per scalar component): a 3-vector is a list of 3 arrays, a
+3x3 matrix a 3x3 nested list, a spatial vector a list of 6, a 6x6 inertia a
+6x6 nested list. All arithmetic is therefore pure elementwise VPU work over
+the env batch — exactly what Mosaic tiles onto (8, 128) lanes — and the
+whole articulated-body sweep fuses into one kernel with zero HBM
+temporaries.
+
+The functions are ordinary jnp code, so the same implementation runs (a) in
+plain XLA for unit tests against physics/algebra, (b) inside pallas_call.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+# ---- 3-vectors: [x, y, z] of (B,) ----
+
+def v3_add(a, b):
+    return [a[i] + b[i] for i in range(3)]
+
+def v3_sub(a, b):
+    return [a[i] - b[i] for i in range(3)]
+
+def v3_scale(a, s):
+    return [a[i] * s for i in range(3)]
+
+def v3_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+def v3_cross(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+def v3_zero(like):
+    z = like * 0.0
+    return [z, z, z]
+
+
+# ---- 3x3 matrices: [[ (B,) ]*3 ]*3, row major ----
+
+def m3_matvec(M, v):
+    return [M[i][0] * v[0] + M[i][1] * v[1] + M[i][2] * v[2] for i in range(3)]
+
+def m3_tmatvec(M, v):
+    """M^T v."""
+    return [M[0][i] * v[0] + M[1][i] * v[1] + M[2][i] * v[2] for i in range(3)]
+
+def m3_matmul(A, B):
+    return [
+        [sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+
+def m3_transpose(A):
+    return [[A[j][i] for j in range(3)] for i in range(3)]
+
+def m3_from_quat(q):
+    """wxyz quat (list of 4 (B,)) -> rotation matrix (body->world)."""
+    w, x, y, z = q
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+
+def m3_axis_angle(axis, angle):
+    """Rotation about a *constant* unit axis (list of 3 python floats) by a
+    per-env angle (B,). Rodrigues, unrolled."""
+    ax, ay, az = axis
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    C = 1.0 - c
+    return [
+        [c + ax * ax * C, ax * ay * C - az * s, ax * az * C + ay * s],
+        [ay * ax * C + az * s, c + ay * ay * C, ay * az * C - ax * s],
+        [az * ax * C - ay * s, az * ay * C + ax * s, c + az * az * C],
+    ]
+
+
+# ---- spatial (6) vectors: [w0,w1,w2, v0,v1,v2] of (B,) ----
+
+def s6_ang(m):
+    return m[0:3]
+
+def s6_lin(m):
+    return m[3:6]
+
+def s6(w, v):
+    return [w[0], w[1], w[2], v[0], v[1], v[2]]
+
+def s6_add(a, b):
+    return [a[i] + b[i] for i in range(6)]
+
+def s6_sub(a, b):
+    return [a[i] - b[i] for i in range(6)]
+
+def s6_scale(a, s):
+    return [a[i] * s for i in range(6)]
+
+def s6_dot(a, b):
+    return sum(a[i] * b[i] for i in range(6))
+
+def s6_zero(like):
+    z = like * 0.0
+    return [z] * 6
+
+
+def xf_motion(E, r, m):
+    """Motion transform by (E, r): [E w, E (v - r x w)] (algebra.xf_motion)."""
+    w, v = s6_ang(m), s6_lin(m)
+    wb = m3_matvec(E, w)
+    vb = m3_matvec(E, v3_sub(v, v3_cross(r, w)))
+    return s6(wb, vb)
+
+
+def xf_force_inv(E, r, f):
+    """Force transform child->parent (algebra.xf_force_inv)."""
+    n, fl = s6_ang(f), s6_lin(f)
+    fa = m3_tmatvec(E, fl)
+    na = v3_add(m3_tmatvec(E, n), v3_cross(r, fa))
+    return s6(na, fa)
+
+
+def crm(v, m):
+    w, vl = s6_ang(v), s6_lin(v)
+    w2, v2 = s6_ang(m), s6_lin(m)
+    return s6(v3_cross(w, w2), v3_add(v3_cross(w, v2), v3_cross(vl, w2)))
+
+
+def crf(v, f):
+    w, vl = s6_ang(v), s6_lin(v)
+    n, fl = s6_ang(f), s6_lin(f)
+    return s6(v3_add(v3_cross(w, n), v3_cross(vl, fl)), v3_cross(w, fl))
+
+
+# ---- 6x6 (articulated inertias): nested lists ----
+
+def m6_zero(like):
+    z = like * 0.0
+    return [[z] * 6 for _ in range(6)]
+
+def m6_add(A, B):
+    return [[A[i][j] + B[i][j] for j in range(6)] for i in range(6)]
+
+def m6_matvec(A, v):
+    return [sum(A[i][j] * v[j] for j in range(6)) for i in range(6)]
+
+def m6_const(M):
+    """Broadcastable constant 6x6 (python floats / 0-d arrays)."""
+    return [[M[i][j] for j in range(6)] for i in range(6)]
+
+def m6_sub_outer_scaled(A, u, inv_d):
+    """A - (u u^T) * inv_d   (the ABA articulated-inertia downdate)."""
+    return [[A[i][j] - u[i] * u[j] * inv_d for j in range(6)] for i in range(6)]
+
+
+def xf_mat6(E, r):
+    """Dense 6x6 motion transform X = [[E, 0], [-E r~, E]] in SoA form."""
+    z = E[0][0] * 0.0
+    rx = [
+        [z, -r[2], r[1]],
+        [r[2], z, -r[0]],
+        [-r[1], r[0], z],
+    ]
+    Erx = m3_matmul(E, rx)
+    X = [[z] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            X[i][j] = E[i][j]
+            X[i + 3][j] = -Erx[i][j]
+            X[i + 3][j + 3] = E[i][j]
+    return X
+
+
+def xf_inertia_to_parent(E, r, I6):
+    """X^T I X with X = xf_mat6(E, r) (algebra.xf_inertia_to_parent)."""
+    X = xf_mat6(E, r)
+    # tmp = I X
+    tmp = [[sum(I6[i][k] * X[k][j] for k in range(6)) for j in range(6)]
+           for i in range(6)]
+    return [[sum(X[k][i] * tmp[k][j] for k in range(6)) for j in range(6)]
+            for i in range(6)]
+
+
+def solve6_psd(A, b):
+    """Unrolled 6x6 Cholesky solve in SoA form (algebra.solve_psd)."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+# ---- quaternions: [w, x, y, z] of (B,) ----
+
+def quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return [
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ]
+
+
+def quat_normalize(q):
+    inv = 1.0 / jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3] + 1e-12)
+    return [q[i] * inv for i in range(4)]
+
+
+def quat_integrate(q, w, dt):
+    """Exp-map integration (utils.math.quat_integrate, SoA form)."""
+    angle = jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2] + 1e-16)
+    half = 0.5 * dt * angle
+    k = jnp.sin(half) / angle
+    dq = [jnp.cos(half), w[0] * k, w[1] * k, w[2] * k]
+    return quat_normalize(quat_mul(q, dq))

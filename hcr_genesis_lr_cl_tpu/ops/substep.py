@@ -1,0 +1,260 @@
+"""Fused physics control-step in structure-of-arrays form.
+
+One function = the engine's whole inner loop (decimation x substeps of
+[FK -> PD -> joint limits -> plane contact -> ABA -> integrate]) expressed as
+pure elementwise ops over the env batch. Model topology/inertia constants
+are baked in as Python floats at trace time, so the entire articulated-body
+sweep unrolls into a single flat expression graph:
+
+- under plain jit it is a drop-in equivalent of physics/engine.step's scan
+  body (unit-tested against it);
+- inside pallas_call (ops/substep_kernel.py) it becomes ONE kernel whose
+  state lives in VMEM across all substeps — the HBM-temporary traffic that
+  dominates the unfused XLA path disappears.
+
+Current scope: flat-plane terrain (the heightfield gather variant keeps the
+XLA path). DR supported: friction, added base mass/com, per-dof kp/kd
+scales, armature/damping/friction offsets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.ops import soa
+
+
+class SubstepConsts(NamedTuple):
+    """Static (python-level) model constants baked into the kernel."""
+
+    nb: int
+    nj: int
+    parent: tuple
+    axis: tuple  # (nj, 3) floats
+    Et: tuple  # (nj, 3, 3)
+    rt: tuple  # (nj, 3)
+    I_body: tuple  # (nb, 6, 6)
+    base_m: float
+    base_com: tuple  # (3,)
+    base_Ic: tuple  # (3, 3) rotational inertia about base com
+    armature: tuple  # (nj,)
+    effort: tuple
+    jdamp: tuple
+    jfric: tuple
+    q_lo: tuple
+    q_hi: tuple
+    vel_limit: tuple
+    kp: tuple
+    kd: tuple
+    default_q: tuple
+    action_scale: float
+    geom_body: tuple
+    geom_off: tuple  # (ng, 3)
+    geom_rad: tuple
+    geom_slot: tuple
+    num_slots: int
+    gravity: tuple
+    kn: float
+    cd: float
+    fv: float
+    jl_k: float
+    jl_d: float
+    dt_sub: float
+    n_inner: int
+
+
+def make_consts(model, gains, sim, control) -> SubstepConsts:
+    f = lambda x: tuple(np.asarray(x, dtype=np.float64).tolist()) if np.ndim(x) else float(x)
+    I0 = np.asarray(model.I_body[0], dtype=np.float64)
+    m0 = float(model.body_mass[0])
+    h0 = np.array([I0[2, 4], I0[0, 5], I0[1, 3]])
+    c0 = h0 / m0
+    cs = np.array([[0, -c0[2], c0[1]], [c0[2], 0, -c0[0]], [-c0[1], c0[0], 0]])
+    Ic = I0[:3, :3] + m0 * (cs @ cs)
+    tt = lambda a: tuple(map(tuple, np.asarray(a, dtype=np.float64)))
+    return SubstepConsts(
+        nb=model.nb, nj=model.nj, parent=tuple(model.parent),
+        axis=tt(model.joint_axis),
+        Et=tuple(tuple(map(tuple, np.asarray(E, dtype=np.float64))) for E in np.asarray(model.Et)),
+        rt=tt(model.rt),
+        I_body=tuple(tuple(map(tuple, np.asarray(I, dtype=np.float64))) for I in np.asarray(model.I_body)),
+        base_m=m0, base_com=tuple(c0.tolist()), base_Ic=tt(Ic),
+        armature=f(model.armature), effort=f(model.effort_limit),
+        jdamp=f(model.joint_damping), jfric=f(model.joint_friction),
+        q_lo=f(model.q_lo), q_hi=f(model.q_hi),
+        vel_limit=f(model.vel_limit),
+        kp=f(gains.kp), kd=f(gains.kd), default_q=f(gains.default_dof_pos),
+        action_scale=float(gains.action_scale),
+        geom_body=tuple(model.geom_body),
+        geom_off=tt(model.geom_offset), geom_rad=f(model.geom_radius),
+        geom_slot=tuple(model.geom_slot), num_slots=model.num_slots,
+        gravity=tuple(float(g) for g in sim.gravity),
+        kn=sim.contact_stiffness, cd=sim.contact_damping,
+        fv=sim.contact_friction_vel,
+        jl_k=sim.joint_limit_stiffness, jl_d=sim.joint_limit_damping,
+        dt_sub=sim.dt / sim.substeps,
+        n_inner=control.decimation * sim.substeps,
+    )
+
+
+def _base_inertia_dr(C: SubstepConsts, added_mass, com_bias):
+    """SoA 6x6 base inertia with DR mass/com shift (engine._base_inertia_with_dr)."""
+    m1 = C.base_m + added_mass
+    c = [C.base_com[i] + com_bias[i] for i in range(3)]
+    z = added_mass * 0.0
+    cs = [[z, -c[2], c[1]], [c[2], z, -c[0]], [-c[1], c[0], z]]
+    cct = soa.m3_matmul(cs, soa.m3_transpose(cs))
+    I = [[z] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            I[i][j] = C.base_Ic[i][j] + m1 * cct[i][j]
+            I[i][j + 3] = m1 * cs[i][j]
+            I[i + 3][j] = m1 * cs[j][i]
+        I[i + 3][i + 3] = m1 + z
+    return I
+
+
+def substep(C: SubstepConsts, st: dict, dr: dict, target: list):
+    """One integration substep. st: dict of SoA lists; target: list of nj (B,)."""
+    nb, nj = C.nb, C.nj
+    quat, pos, v0 = st["quat"], st["pos"], st["v"]
+    q, qd = st["q"], st["qd"]
+
+    # ---- FK + velocities ----
+    R = [None] * nb  # body->world
+    p = [None] * nb
+    vb = [None] * nb
+    Ej = [None] * nj
+    rj = [None] * nj
+    R[0] = soa.m3_from_quat(quat)
+    p[0] = pos
+    vb[0] = v0
+    for j in range(nj):
+        i = j + 1
+        pi = C.parent[i]
+        Rq = soa.m3_axis_angle(C.axis[j], q[j])
+        Et = [[C.Et[j][a][b] + q[j] * 0.0 for b in range(3)] for a in range(3)]
+        E = soa.m3_matmul(soa.m3_transpose(Rq), Et)
+        r = [C.rt[j][a] + q[j] * 0.0 for a in range(3)]
+        Ej[j], rj[j] = E, r
+        R[i] = soa.m3_matmul(R[pi], soa.m3_transpose(E))
+        p[i] = soa.v3_add(p[pi], soa.m3_matvec(R[pi], r))
+        Sw = [C.axis[j][a] * qd[j] for a in range(3)]
+        vj = soa.xf_motion(E, r, vb[pi])
+        vb[i] = soa.s6(soa.v3_add(soa.s6_ang(vj), Sw), soa.s6_lin(vj))
+
+    # ---- torques: PD + passive + joint limits ----
+    tau = [None] * nj
+    for j in range(nj):
+        t = dr["kp_scale"][j] * C.kp[j] * (target[j] - q[j]) - dr["kd_scale"][j] * C.kd[j] * qd[j]
+        t = jnp.clip(t, -C.effort[j], C.effort[j])
+        t = t - C.jdamp[j] * qd[j] - C.jfric[j] * jnp.tanh(qd[j] / 0.1)
+        below = jnp.minimum(q[j] - C.q_lo[j], 0.0)
+        above = jnp.maximum(q[j] - C.q_hi[j], 0.0)
+        active = ((q[j] < C.q_lo[j]) | (q[j] > C.q_hi[j])).astype(q[j].dtype)
+        t = t - C.jl_k * (below + above) - C.jl_d * qd[j] * active
+        tau[j] = t
+
+    # ---- plane contact ----
+    f_ext = [soa.s6_zero(q[0]) for _ in range(nb)]
+    slot_fx = [q[0] * 0.0 for _ in range(C.num_slots)]
+    slot_fy = [q[0] * 0.0 for _ in range(C.num_slots)]
+    slot_fz = [q[0] * 0.0 for _ in range(C.num_slots)]
+    for g in range(len(C.geom_body)):
+        b = C.geom_body[g]
+        off = [C.geom_off[g][a] + q[0] * 0.0 for a in range(3)]
+        pw = soa.v3_add(p[b], soa.m3_matvec(R[b], off))
+        vloc = soa.v3_add(soa.s6_lin(vb[b]), soa.v3_cross(soa.s6_ang(vb[b]), off))
+        vw = soa.m3_matvec(R[b], vloc)
+        pen = C.geom_rad[g] - pw[2]
+        in_c = (pen > 0.0).astype(q[0].dtype)
+        f_spring = C.kn * pen
+        f_damp = jnp.clip(-C.cd * vw[2], -f_spring, f_spring)
+        fn = jnp.maximum(f_spring + f_damp, 0.0) * in_c
+        vt = [vw[0], vw[1]]
+        vt_n = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1] + 1e-8)
+        ft_mag = dr["friction"] * fn * jnp.minimum(vt_n / C.fv, 1.0)
+        fw = [-ft_mag * vt[0] / vt_n, -ft_mag * vt[1] / vt_n, fn]
+        fb = soa.m3_tmatvec(R[b], fw)
+        nb_t = soa.v3_cross(off, fb)
+        f_ext[b] = soa.s6_add(f_ext[b], soa.s6(nb_t, fb))
+        s = C.geom_slot[g]
+        slot_fx[s] = slot_fx[s] + fw[0]
+        slot_fy[s] = slot_fy[s] + fw[1]
+        slot_fz[s] = slot_fz[s] + fw[2]
+
+    # ---- ABA ----
+    IA = [None] * nb
+    pA = [None] * nb
+    IA[0] = _base_inertia_dr(C, dr["added_mass"], dr["com_bias"])
+    pA[0] = soa.s6_sub(soa.crf(vb[0], soa.m6_matvec(IA[0], vb[0])), f_ext[0])
+    for i in range(1, nb):
+        Ic = [[C.I_body[i][a][b] + q[0] * 0.0 for b in range(6)] for a in range(6)]
+        IA[i] = Ic
+        pA[i] = soa.s6_sub(soa.crf(vb[i], soa.m6_matvec(Ic, vb[i])), f_ext[i])
+
+    c = [None] * nb
+    for j in range(nj):
+        i = j + 1
+        Sj = soa.s6([C.axis[j][a] * qd[j] for a in range(3)], soa.v3_zero(q[0]))
+        c[i] = soa.crm(vb[i], Sj)
+
+    U = [None] * nb
+    Dinv = [None] * nb
+    u = [None] * nb
+    for j in range(nj - 1, -1, -1):
+        i = j + 1
+        pi = C.parent[i]
+        S = soa.s6([C.axis[j][a] + q[0] * 0.0 for a in range(3)], soa.v3_zero(q[0]))
+        U[i] = soa.m6_matvec(IA[i], S)
+        kd_eff = dr["kd_scale"][j] * C.kd[j] + C.jdamp[j]
+        D = soa.s6_dot(S, U[i]) + C.armature[j] + C.dt_sub * kd_eff
+        Dinv[i] = 1.0 / D
+        u[i] = tau[j] - soa.s6_dot(S, pA[i])
+        Ia = soa.m6_sub_outer_scaled(IA[i], U[i], Dinv[i])
+        pa = soa.s6_add(
+            soa.s6_add(pA[i], soa.m6_matvec(Ia, c[i])),
+            soa.s6_scale(U[i], u[i] * Dinv[i]),
+        )
+        IA[pi] = soa.m6_add(IA[pi], soa.xf_inertia_to_parent(Ej[j], rj[j], Ia))
+        pA[pi] = soa.s6_add(pA[pi], soa.xf_force_inv(Ej[j], rj[j], pa))
+
+    a0 = [-x for x in soa.solve6_psd(IA[0], pA[0])]
+
+    a = [None] * nb
+    a[0] = a0
+    qdd = [None] * nj
+    for j in range(nj):
+        i = j + 1
+        pi = C.parent[i]
+        ai = soa.s6_add(soa.xf_motion(Ej[j], rj[j], a[pi]), c[i])
+        qdd[j] = (u[i] - soa.s6_dot(U[i], ai)) * Dinv[i]
+        a[i] = soa.s6_add(ai, soa.s6([C.axis[j][k] * qdd[j] for k in range(3)], soa.v3_zero(q[0])))
+
+    # ---- integrate (semi-implicit, gravity re-added in base frame) ----
+    g_b = soa.m3_tmatvec(R[0], [C.gravity[0] + q[0] * 0.0, C.gravity[1] + q[0] * 0.0, C.gravity[2] + q[0] * 0.0])
+    v_new = [
+        v0[0] + C.dt_sub * a0[0],
+        v0[1] + C.dt_sub * a0[1],
+        v0[2] + C.dt_sub * a0[2],
+        v0[3] + C.dt_sub * (a0[3] + g_b[0]),
+        v0[4] + C.dt_sub * (a0[4] + g_b[1]),
+        v0[5] + C.dt_sub * (a0[5] + g_b[2]),
+    ]
+    quat_new = soa.quat_integrate(quat, v_new[0:3], C.dt_sub)
+    pos_new = soa.v3_add(pos, soa.v3_scale(soa.m3_matvec(R[0], v_new[3:6]), C.dt_sub))
+    qd_new = [
+        jnp.clip(qd[j] + C.dt_sub * qdd[j], -C.vel_limit[j], C.vel_limit[j])
+        for j in range(nj)
+    ]
+    # semi-implicit: q advances with the NEW qd
+    q_new = [q[j] + C.dt_sub * qd_new[j] for j in range(nj)]
+    return {
+        "quat": quat_new, "pos": pos_new, "v": v_new,
+        "q": q_new, "qd": qd_new,
+        "tau": tau,
+        "slot_f": (slot_fx, slot_fy, slot_fz),
+    }

@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: the fused physics control step.
+
+Executes the engine's ENTIRE inner loop (decimation x substeps of FK + PD +
+contact + ABA + integrate) as one kernel. State components live in VMEM (and
+vector registers) for all n_inner iterations — the unfused XLA path writes
+~100 HBM temporaries per substep, which is what dominates its runtime; here
+HBM traffic is one load of the state and one store of the result.
+
+Layout: every quantity is (components, B) with the env batch B in lanes;
+blocks of BLOCK_B envs per grid step. Model constants are Python floats baked
+into the kernel (ops/substep.make_consts).
+
+Used by physics/engine.step for flat-plane terrain when `use_pallas` is
+enabled; falls back to the XLA path otherwise (heightfield terrain, DR
+armature/damping extras).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hcr_genesis_lr_cl_tpu.ops import substep as ss
+
+
+def _kernel(C, n_slots, quat_ref, pos_ref, v_ref, q_ref, qd_ref,
+            fric_ref, am_ref, cb_ref, kps_ref, kds_ref, act_ref,
+            quat_o, pos_o, v_o, q_o, qd_o, tau_o, slot_o):
+    nj = C.nj
+    st = {
+        "quat": [quat_ref[i, :] for i in range(4)],
+        "pos": [pos_ref[i, :] for i in range(3)],
+        "v": [v_ref[i, :] for i in range(6)],
+        "q": [q_ref[j, :] for j in range(nj)],
+        "qd": [qd_ref[j, :] for j in range(nj)],
+    }
+    dr = {
+        "friction": fric_ref[0, :],
+        "added_mass": am_ref[0, :],
+        "com_bias": [cb_ref[i, :] for i in range(3)],
+        "kp_scale": [kps_ref[j, :] for j in range(nj)],
+        "kd_scale": [kds_ref[j, :] for j in range(nj)],
+    }
+    target = [act_ref[j, :] * C.action_scale + C.default_q[j] for j in range(nj)]
+
+    zero = st["q"][0] * 0.0
+    carry = st | {
+        "tau": [zero] * nj,
+        "slot_f": ([zero] * n_slots, [zero] * n_slots, [zero] * n_slots),
+    }
+
+    def body(_, c):
+        out = ss.substep(
+            C, {k: c[k] for k in ("quat", "pos", "v", "q", "qd")}, dr, target
+        )
+        return out
+
+    out = jax.lax.fori_loop(0, C.n_inner, body, carry)
+
+    for i in range(4):
+        quat_o[i, :] = out["quat"][i]
+    for i in range(3):
+        pos_o[i, :] = out["pos"][i]
+    for i in range(6):
+        v_o[i, :] = out["v"][i]
+    for j in range(nj):
+        q_o[j, :] = out["q"][j]
+        qd_o[j, :] = out["qd"][j]
+        tau_o[j, :] = out["tau"][j]
+    fx, fy, fz = out["slot_f"]
+    for s in range(n_slots):
+        slot_o[3 * s + 0, :] = fx[s]
+        slot_o[3 * s + 1, :] = fy[s]
+        slot_o[3 * s + 2, :] = fz[s]
+
+
+def make_pallas_control_step(model, gains, sim, control, block_b: int = 256,
+                             interpret: bool = False):
+    """Returns f(state_TB, dr_TB, actions_topo) operating on (comp, B) arrays.
+
+    state_TB: dict with quat(4,B) pos(3,B) v(6,B) q(nj,B) qd(nj,B);
+    dr_TB: friction(1,B) added_mass(1,B) com_bias(3,B) kp/kd_scale(nj,B);
+    actions: (nj, B) topo order. Returns same-layout new state + tau(nj,B)
+    + slot forces (3*num_slots, B).
+    """
+    C = ss.make_consts(model, gains, sim, control)
+    nj, ns = C.nj, C.num_slots
+    kern = functools.partial(_kernel, C, ns)
+
+    def call(quat, pos, v, q, qd, fric, am, cb, kps, kds, act):
+        B = quat.shape[1]
+        grid = (max(1, B // block_b),)
+        bb = min(block_b, B)
+        spec = lambda d: pl.BlockSpec((d, bb), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+        out_shape = [
+            jax.ShapeDtypeStruct((4, B), jnp.float32),
+            jax.ShapeDtypeStruct((3, B), jnp.float32),
+            jax.ShapeDtypeStruct((6, B), jnp.float32),
+            jax.ShapeDtypeStruct((nj, B), jnp.float32),
+            jax.ShapeDtypeStruct((nj, B), jnp.float32),
+            jax.ShapeDtypeStruct((nj, B), jnp.float32),
+            jax.ShapeDtypeStruct((3 * ns, B), jnp.float32),
+        ]
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[spec(4), spec(3), spec(6), spec(nj), spec(nj),
+                      spec(1), spec(1), spec(3), spec(nj), spec(nj), spec(nj)],
+            out_specs=[spec(4), spec(3), spec(6), spec(nj), spec(nj), spec(nj),
+                       spec(3 * ns)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(quat, pos, v, q, qd, fric, am, cb, kps, kds, act)
+
+    return call
+
+
+def make_pallas_engine_step(model, gains, sim, control, block_b: int = 256,
+                            interpret: bool = False):
+    """Factory (call OUTSIDE jit: bakes model constants): returns
+    f(state, dr, action_topo) -> (new_state, tau(N,nj), slot_forces(N,ns,3))
+    with the engine's (N, ...) layouts."""
+    from hcr_genesis_lr_cl_tpu.physics.engine import PhysicsState
+
+    call = make_pallas_control_step(model, gains, sim, control, block_b, interpret)
+
+    def step(state, dr, action_topo):
+        T = lambda x: jnp.transpose(x)
+        quat, pos, v, q, qd, tau, slot = call(
+            T(state.base_quat), T(state.base_pos), T(state.v_base), T(state.q),
+            T(state.qd), dr.friction[None], dr.added_mass[None], T(dr.com_bias),
+            T(dr.kp_scale), T(dr.kd_scale), T(action_topo),
+        )
+        n = state.base_quat.shape[0]
+        new_state = PhysicsState(
+            base_quat=T(quat), base_pos=T(pos), v_base=T(v), q=T(q), qd=T(qd)
+        )
+        slot_forces = T(slot).reshape(n, -1, 3)
+        return new_state, T(tau), slot_forces
+
+    return step

@@ -263,8 +263,14 @@ def step(
 
     n_inner = control.decimation * sim.substeps
     state, (taus, slots) = jax.lax.scan(substep, state, None, length=n_inner)
+    tau_last_user = taus[-1][:, user_idx]
+    return state, compute_outputs(model, sim, state, tau_last_user, slots[-1])
 
-    # sensor refresh at the post-step state (reference post_physics_step)
+
+def compute_outputs(model: RobotModel, sim: SimCfg, state: PhysicsState,
+                    tau_user: jnp.ndarray, slot_forces: jnp.ndarray) -> SimOutputs:
+    """Post-step sensor refresh (reference post_physics_step state surface)."""
+    fk = jax.vmap(dyn.forward_kinematics, in_axes=(None, 0, 0, 0, 0, 0))
     kin = fk(model, state.base_quat, state.base_pos, state.v_base, state.q, state.qd)
     R_wb = hm.quat_to_rotmat(state.base_quat)
     gvec = hm.normalize(jnp.asarray(sim.gravity))
@@ -278,18 +284,49 @@ def step(
     )
     feet_vel = jnp.einsum("nfij,nfj->nfi", kin.R_w[:, site_body], v_site_local)
     feet_rot = jnp.einsum("nfij,fjk->nfik", kin.R_w[:, site_body], model.site_rot)
-    tau_last_user = taus[-1][:, user_idx]
-    return state, SimOutputs(
+    return SimOutputs(
         base_lin_vel=state.v_base[:, 3:],
         base_ang_vel=state.v_base[:, :3],
         projected_gravity=proj_grav,
         feet_pos=feet_pos,
         feet_vel=feet_vel,
         feet_rot=feet_rot,
-        link_contact_forces=slots[-1],
-        torques=tau_last_user,
+        link_contact_forces=slot_forces,
+        torques=tau_user,
         body_pos=kin.p_w,
     )
+
+
+def make_stepper(model: RobotModel, terrain: TerrainField, sim: SimCfg,
+                 control: ControlCfg, gains: Gains, use_pallas=None,
+                 pallas_interpret: bool = False):
+    """Select the physics path: fused Pallas kernel (TPU, flat plane) or the
+    XLA scan path. `use_pallas=None` -> auto."""
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and terrain.is_plane
+            and gains.control_type == "P"
+        )
+    if not (use_pallas and terrain.is_plane and gains.control_type == "P"):
+        return lambda state, dr, actions: step(
+            model, terrain, sim, control, gains, state, dr, actions
+        )
+
+    from hcr_genesis_lr_cl_tpu.ops.substep_kernel import make_pallas_engine_step
+
+    kstep = make_pallas_engine_step(
+        model, gains, sim, control, interpret=pallas_interpret
+    )
+    user_idx = jnp.asarray(model.user_dof_idx)
+
+    def fused(state: PhysicsState, dr: DrParams, actions: jnp.ndarray):
+        action_topo = jnp.zeros_like(state.q).at[:, user_idx].set(actions)
+        new_state, tau, slot_forces = kstep(state, dr, action_topo)
+        tau_user = tau[:, user_idx]
+        return new_state, compute_outputs(model, sim, new_state, tau_user, slot_forces)
+
+    return fused
 
 
 def init_state(

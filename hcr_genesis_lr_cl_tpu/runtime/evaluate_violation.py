@@ -1,0 +1,86 @@
+"""Constraint-violation evaluation harness (reference
+legged_gym/scripts/constraint/evaluate_violation_{cat,ts}.py).
+
+Rolls out a policy for N episodes on the curriculum terrain while counting
+per-constraint violation means (the CaT constraint set of go2_cat.py), then
+prints the terrain level + violation table — the safety comparison whose
+reference results live in violation_comparison.txt.
+
+Usage:
+    python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation \
+        --task go2_cat [--episodes 10] [--num_envs 64] [--random_policy]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="go2_cat", choices=["go2_cat", "go2_ts"])
+    ap.add_argument("--episodes", type=int, default=10)
+    ap.add_argument("--num_envs", type=int, default=64)
+    ap.add_argument("--load_run", default="-1")
+    ap.add_argument("--checkpoint", type=int, default=-1)
+    ap.add_argument("--random_policy", action="store_true")
+    ap.add_argument("--logdir_root", default="logs")
+    return ap.parse_args(argv)
+
+
+def evaluate(args):
+    from hcr_genesis_lr_cl_tpu.envs import registry
+    from hcr_genesis_lr_cl_tpu.envs.tasks.go2_cat import Go2CaT, go2_cat_cfg
+    from hcr_genesis_lr_cl_tpu.rl.runner import make_runner
+    from hcr_genesis_lr_cl_tpu.runtime.train import find_checkpoint
+
+    cfg, tcfg = registry.get_cfgs(args.task, num_envs=args.num_envs)
+    env = registry.make_env(args.task, cfg=cfg)
+    runner = make_runner(env, tcfg)
+    st = runner.init_state(jax.random.PRNGKey(0))
+    if not args.random_policy:
+        exp_dir = os.path.join(args.logdir_root, tcfg.runner.experiment_name)
+        ckpt = find_checkpoint(exp_dir, args.load_run, args.checkpoint)
+        print(f"loading {ckpt}")
+        st = runner.load(st, ckpt)
+
+    # constraint evaluator: a CaT env used purely as the measurement harness
+    # (the TS policy gets evaluated under the same constraint definitions)
+    meter = env if isinstance(env, Go2CaT) else registry.make_env(
+        "go2_cat", cfg=go2_cat_cfg(args.num_envs)
+    )
+    params = st.ppo.params
+
+    @jax.jit
+    def policy_step(env_state, bundle):
+        mean, _, _ = runner.alg.policy_mean_value(params, bundle, jax.random.PRNGKey(0))
+        env_state, out = env.step(env_state, mean)
+        return env_state, out, mean
+
+    steps = env.max_episode_length * args.episodes
+    env_state, bundle = st.env_state, st.bundle
+    totals = {}
+    levels = []
+    for i in range(int(steps)):
+        env_state, out, _ = policy_step(env_state, bundle)
+        bundle = runner.make_bundle(out.obs, out.privileged_obs, out.extras)
+        viols = jax.device_get(jax.jit(meter.compute_constraints)(env_state))
+        for k, v in viols.items():
+            totals[k] = totals.get(k, 0.0) + float(np.mean(v))
+        levels.append(float(jnp.mean(env_state.terrain_row.astype(jnp.float32))))
+
+    print(f"\ntask: {args.task}  episodes: {args.episodes}  envs: {args.num_envs}")
+    print(f"mean terrain level: {np.mean(levels):.2f}")
+    print("summed constraint violation means (10-episode convention, "
+          "violation_comparison.txt):")
+    for k in sorted(totals):
+        print(f"  {k:18s} {totals[k]:.2f}")
+
+
+if __name__ == "__main__":
+    evaluate(get_args())

@@ -1,0 +1,50 @@
+"""Fused Pallas control-step kernel vs the engine path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.envs import registry
+from hcr_genesis_lr_cl_tpu.ops.substep_kernel import make_pallas_engine_step
+from hcr_genesis_lr_cl_tpu.physics import engine as eng
+
+
+class TestPallasControlStep:
+    def test_matches_engine_full_control_step(self):
+        env = registry.make_env("go2", num_envs=8)
+        cfg = env.cfg
+        state = env.init(jax.random.PRNGKey(0))
+        for _ in range(3):
+            state, _ = jax.jit(env.step)(state, jnp.zeros((8, 12)))
+        ps, dr = state.physics, state.dr
+        actions = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, 12))
+        uidx = jnp.asarray(env.model.user_dof_idx)
+        action_topo = jnp.zeros_like(ps.q).at[:, uidx].set(actions)
+
+        ps_ref, out_ref = jax.jit(
+            lambda s: eng.step(env.model, env.terrain, cfg.sim, cfg.control,
+                               env.gains, s, dr, actions)
+        )(ps)
+
+        kstep = make_pallas_engine_step(
+            env.model, env.gains, cfg.sim, cfg.control, block_b=8, interpret=True
+        )
+        ps_k, tau_k, slots_k = jax.jit(lambda s, a: kstep(s, dr, a))(ps, action_topo)
+
+        np.testing.assert_allclose(np.asarray(ps_k.q), np.asarray(ps_ref.q),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ps_k.qd), np.asarray(ps_ref.qd),
+                                   rtol=1e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(ps_k.base_pos),
+                                   np.asarray(ps_ref.base_pos), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ps_k.base_quat),
+                                   np.asarray(ps_ref.base_quat), rtol=1e-3, atol=1e-4)
+        uidx_np = np.asarray(env.model.user_dof_idx)
+        np.testing.assert_allclose(
+            np.asarray(tau_k)[:, uidx_np], np.asarray(out_ref.torques),
+            rtol=1e-2, atol=5e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(slots_k), np.asarray(out_ref.link_contact_forces),
+            rtol=1e-2, atol=5e-2,
+        )

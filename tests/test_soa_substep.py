@@ -1,0 +1,85 @@
+"""SoA substep vs the reference engine path: numerical equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.envs import registry
+from hcr_genesis_lr_cl_tpu.ops import substep as ss
+from hcr_genesis_lr_cl_tpu.physics import engine as eng
+
+
+def _soa_state(ps, n):
+    return {
+        "quat": [ps.base_quat[:, i] for i in range(4)],
+        "pos": [ps.base_pos[:, i] for i in range(3)],
+        "v": [ps.v_base[:, i] for i in range(6)],
+        "q": [ps.q[:, j] for j in range(ps.q.shape[1])],
+        "qd": [ps.qd[:, j] for j in range(ps.q.shape[1])],
+    }
+
+
+def _soa_dr(dr, nj):
+    return {
+        "friction": dr.friction,
+        "added_mass": dr.added_mass,
+        "com_bias": [dr.com_bias[:, i] for i in range(3)],
+        "kp_scale": [dr.kp_scale[:, j] for j in range(nj)],
+        "kd_scale": [dr.kd_scale[:, j] for j in range(nj)],
+    }
+
+
+class TestSoaSubstep:
+    def test_matches_engine_single_substep(self):
+        env = registry.make_env("go2", num_envs=8)
+        cfg = env.cfg.replace(
+            sim=env.cfg.sim.replace(substeps=1),
+            control=env.cfg.control.replace(decimation=1),
+        )
+        state = env.init(jax.random.PRNGKey(0))
+        # step a few times for a non-trivial in-contact state
+        for _ in range(5):
+            state, _ = jax.jit(env.step)(state, jnp.zeros((8, 12)))
+        ps, dr = state.physics, state.dr
+
+        ps2, out2 = jax.jit(
+            lambda s: eng.step(env.model, env.terrain, cfg.sim, cfg.control,
+                               env.gains, s, dr, jnp.zeros((8, 12)))
+        )(ps)
+
+        C = ss.make_consts(env.model, env.gains, cfg.sim, cfg.control)
+        st = _soa_state(ps, 8)
+        drd = _soa_dr(dr, env.model.nj)
+        target = [env.gains.default_dof_pos[j] + st["q"][0] * 0.0
+                  for j in range(env.model.nj)]
+        out = jax.jit(lambda st, drd, tg: ss.substep(C, st, drd, tg))(st, drd, target)
+
+        np.testing.assert_allclose(
+            np.stack([np.asarray(x) for x in out["q"]], axis=1),
+            np.asarray(ps2.q), rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.stack([np.asarray(x) for x in out["qd"]], axis=1),
+            np.asarray(ps2.qd), rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.stack([np.asarray(x) for x in out["pos"]], axis=1),
+            np.asarray(ps2.base_pos), rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.stack([np.asarray(x) for x in out["quat"]], axis=1),
+            np.asarray(ps2.base_quat), rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.stack([np.asarray(x) for x in out["v"]], axis=1),
+            np.asarray(ps2.v_base), rtol=2e-3, atol=2e-3,
+        )
+        # slot forces of the last substep match link_contact_forces
+        fx, fy, fz = out["slot_f"]
+        f_soa = np.stack(
+            [np.stack([np.asarray(c) for c in comp], axis=1) for comp in (fx, fy, fz)],
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            f_soa, np.asarray(out2.link_contact_forces), rtol=2e-3, atol=1e-2
+        )
