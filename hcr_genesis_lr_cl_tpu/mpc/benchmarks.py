@@ -23,11 +23,11 @@ from hcr_genesis_lr_cl_tpu.mpc import ilqr
 from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField
 
 
-def make_go2_mpc(terrain: Optional[TerrainField] = None, substeps: int = 4,
-                 dt: float = 0.02):
+def make_task_mpc(task: str = "go2", terrain: Optional[TerrainField] = None,
+                  substeps: int = 4, dt: float = 0.02):
     from hcr_genesis_lr_cl_tpu.envs import registry
 
-    env = registry.make_env("go2", num_envs=1)
+    env = registry.make_env(task, num_envs=1)
     mm = mdyn.MpcModel(
         model=env.model,
         terrain=terrain if terrain is not None else env.terrain,
@@ -43,6 +43,11 @@ def make_go2_mpc(terrain: Optional[TerrainField] = None, substeps: int = 4,
         joint_limit_damping=env.cfg.sim.joint_limit_damping,
     )
     return env, mm
+
+
+def make_go2_mpc(terrain: Optional[TerrainField] = None, substeps: int = 4,
+                 dt: float = 0.02):
+    return make_task_mpc("go2", terrain, substeps, dt)
 
 
 def default_x0(env, mm, height=0.32):
@@ -120,3 +125,82 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
         "final_cost_mean": float(res.cost.mean()),
         "initial_cost_mean": float(res.cost_trace[:, 0].mean()),
     }
+
+
+def _time_solver(solver, x0, params, u0, n_solves):
+    res = solver(x0, params, u0)
+    jax.block_until_ready(res.cost)
+    times = []
+    for _ in range(n_solves):
+        t0 = time.time()
+        res = solver(x0, params, u0)
+        jax.block_until_ready(res.cost)
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    return res, {
+        "solves_per_sec": 1.0 / times.mean(),
+        "p50_ms": float(np.percentile(times, 50) * 1e3),
+        "p99_ms": float(np.percentile(times, 99) * 1e3),
+        "final_cost_mean": float(res.cost.mean()),
+        "initial_cost_mean": float(res.cost_trace[:, 0].mean()),
+    }
+
+
+def bench_go2_rough(num_scenarios=1024, horizon=50, n_solves=3, n_iters=3,
+                    terrain_seed=0):
+    """BASELINE config 3: rough-terrain heightfield MPC (vectorized terrain
+    contact queries inside the rollout + linearization)."""
+    from hcr_genesis_lr_cl_tpu.envs.tasks.go2_rough import rough_terrain_cfg
+
+    terr = TerrainField.build(rough_terrain_cfg(), terrain_seed)
+    env, mm = make_task_mpc("go2", terrain=terr)
+    solver = make_solver(env, mm, mcosts.CostWeights(), horizon, n_iters=n_iters)
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)
+    # start robots at heightfield cell centers
+    origin = jnp.asarray(terr.env_origins[1, 1])
+    x0 = x0.at[:, 4:6].add(origin[None, :2])
+    x0 = x0.at[:, 6].add(origin[2])
+    u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
+    _, r = _time_solver(solver, x0, params, u0, n_solves)
+    r.update(num_scenarios=num_scenarios, horizon=horizon)
+    return r
+
+
+def bench_tron1_pf_cat(num_scenarios=1024, horizon=50, n_solves=3, n_iters=3):
+    """BASELINE config 4: TRON1_PF with CaT terms as steep constraint
+    penalties (the hard-constraint surrogate in costs.stage_cost)."""
+    env, mm = make_task_mpc("tron1_pf")
+    w = mcosts.CostWeights(dof_pos_limit=100.0, torque_limit=1.0, orientation=10.0)
+    solver = make_solver(env, mm, w, horizon, n_iters=n_iters)
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)
+    params = params._replace(base_height_target=jnp.full((num_scenarios,), 0.68))
+    x0 = x0.at[:, 6].set(0.78)
+    u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
+    _, r = _time_solver(solver, x0, params, u0, n_solves)
+    r.update(num_scenarios=num_scenarios, horizon=horizon)
+    return r
+
+
+def bench_tron1_sf_sharded(num_scenarios=4096, horizon=50, n_solves=3,
+                           n_iters=2, n_devices=None):
+    """BASELINE config 5: TRON1_SF x 4096 scenarios sharded over the device
+    mesh (scenario-parallel; gradients/rollouts shard per device, the
+    reduction to per-scenario costs needs no cross-device traffic — the
+    multi-host extension runs the same code over a DCN mesh)."""
+    from hcr_genesis_lr_cl_tpu.parallel.mesh import make_mesh, shard_batch_tree
+
+    env, mm = make_task_mpc("tron1_sf")
+    w = mcosts.CostWeights()
+    solver = make_solver(env, mm, w, horizon, n_iters=n_iters)
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)
+    params = params._replace(base_height_target=jnp.full((num_scenarios,), 0.75))
+    x0 = x0.at[:, 6].set(0.85)
+    u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
+    mesh = make_mesh(n_devices)
+    x0 = shard_batch_tree(x0, mesh, num_scenarios)
+    params = shard_batch_tree(params, mesh, num_scenarios)
+    u0 = shard_batch_tree(u0, mesh, num_scenarios)
+    _, r = _time_solver(solver, x0, params, u0, n_solves)
+    r.update(num_scenarios=num_scenarios, horizon=horizon,
+             n_devices=len(mesh.devices.ravel()))
+    return r

@@ -77,3 +77,31 @@ class TestGo2Mpc:
         assert np.all(np.isfinite(cf))
         assert np.all(cf <= c0 + 1e-5)
         assert float(cf.mean()) < 0.9 * float(c0.mean())  # meaningful improvement
+
+
+class TestBaselineConfigs:
+    """The five BASELINE.json MPC configs run (mini sizes) with finite costs."""
+
+    def _check(self, r):
+        assert np.isfinite(r["final_cost_mean"])
+        assert r["final_cost_mean"] <= r["initial_cost_mean"] + 1e-4
+
+    def test_rough(self):
+        from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+
+        self._check(mb.bench_go2_rough(num_scenarios=2, horizon=5, n_solves=1,
+                                       n_iters=1))
+
+    def test_tron1_pf_cat(self):
+        from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+
+        self._check(mb.bench_tron1_pf_cat(num_scenarios=2, horizon=5, n_solves=1,
+                                          n_iters=1))
+
+    def test_tron1_sf_sharded(self):
+        from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+
+        r = mb.bench_tron1_sf_sharded(num_scenarios=8, horizon=5, n_solves=1,
+                                      n_iters=1)
+        self._check(r)
+        assert r["n_devices"] == 8

@@ -1,0 +1,74 @@
+"""Torque-sequence parity gate (BASELINE.json accuracy criterion).
+
+The MPC prediction model and the training engine must produce identical
+joint-torque/control sequences over a T=50 horizon at simulator dt when
+integrating the same state/action trajectory — the 1e-3 acceptance gate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.envs import registry
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.physics import engine as eng
+
+
+class TestTorqueParity:
+    def test_mpc_model_matches_engine_torques(self):
+        env = registry.make_env("go2", num_envs=1)
+        cfg = env.cfg
+        # MPC model at the engine's exact integration grid
+        _, mm = mb.make_task_mpc(
+            "go2", substeps=cfg.control.decimation * cfg.sim.substeps, dt=cfg.dt
+        )
+        dr = eng.sample_dr(
+            jax.random.PRNGKey(0), env.model,
+            cfg.domain_rand.replace(
+                randomize_friction=False, randomize_base_mass=False,
+                randomize_com_displacement=False, randomize_pd_gain=False,
+            ),
+            1.0, 1,
+        )
+        state = eng.init_state(env.model, env.gains, cfg.init_state, 1)
+        x = mdyn.pack(
+            state.base_quat[0], state.base_pos[0], state.v_base[0],
+            state.q[0], state.qd[0],
+        )
+        key = jax.random.PRNGKey(1)
+        T = 50
+        actions = 0.3 * jax.random.normal(key, (T, env.num_actions))
+        uidx = jnp.asarray(env.model.user_dof_idx)
+
+        eng_step = jax.jit(
+            lambda s, a: eng.step(env.model, env.terrain, cfg.sim, cfg.control,
+                                  env.gains, s, dr, a)
+        )
+        mpc_step = jax.jit(lambda x, u: mdyn.step(mm, x, u))
+        mpc_tau = jax.jit(lambda x, u: mdyn.torques(mm, x, u))
+
+        max_tau_err = 0.0
+        max_step_err = 0.0
+        for t in range(T):
+            # mdyn takes actions in user order (it scatters internally)
+            tau_m = mpc_tau(x, actions[t])[uidx]
+            # engine start-of-step torque at the identical state
+            tau_e = eng.compute_torques(
+                env.model, env.gains, dr, state.q, state.qd,
+                jnp.zeros_like(state.q).at[:, uidx].set(actions[t][None]),
+            )[0][uidx]
+            max_tau_err = max(max_tau_err, float(jnp.abs(tau_m - tau_e).max()))
+            x_pred = mpc_step(x, actions[t])
+            state, _ = eng_step(state, actions[t][None])
+            x_eng = mdyn.pack(
+                state.base_quat[0], state.base_pos[0], state.v_base[0],
+                state.q[0], state.qd[0],
+            )
+            # one-step prediction parity (free-running trajectories diverge
+            # chaotically from f32 op-order differences; the gate is on the
+            # control map + single-step dynamics at matched states)
+            max_step_err = max(max_step_err, float(jnp.abs(x_pred - x_eng).max()))
+            x = x_eng  # teacher-forced: evaluate along the engine trajectory
+        assert max_tau_err < 1e-3, f"torque mismatch {max_tau_err}"
+        assert max_step_err < 1e-3, f"one-step prediction mismatch {max_step_err}"
