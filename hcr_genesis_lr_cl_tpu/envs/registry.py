@@ -60,6 +60,8 @@ def _register_builtin():
              go2_rough.go2_cts_train_cfg)
     register("go2_dreamwaq", go2_rough.Go2DreamWaQ, go2_rough.go2_dreamwaq_cfg,
              go2_rough.go2_dreamwaq_train_cfg)
+    register("go2_ts_depth", go2_rough.Go2TSDepth, go2_rough.go2_ts_depth_cfg,
+             go2_rough.go2_ts_depth_train_cfg)
 
     from hcr_genesis_lr_cl_tpu.envs.tasks import go2_cat
 

@@ -300,6 +300,7 @@ class Go2TS(go2_task.Go2Env):
     def reset_extra(self, state: EnvState, mask) -> dict:
         w = lambda z: jnp.where(mask[:, None, None], jnp.zeros_like(z), z)
         return {
+            **state.extra,
             "obs_history": w(state.extra["obs_history"]),
             "critic_history": w(state.extra["critic_history"]),
         }
@@ -369,3 +370,48 @@ class Go2DreamWaQ(Go2TS):
             "explicit_labels": self.estimator_labels(state),
             "next_obs": clean,
         }
+
+
+def go2_ts_depth_cfg(num_envs: int = 50) -> LeggedRobotCfg:
+    """Vision TS variant (reference go2_ts_depth, WIP/unregistered there;
+    functional here): adds ray-marched depth images to the obs bundle."""
+    cfg = go2_ts_cfg(num_envs)
+    return cfg.replace(sensor=cfg.sensor.replace(add_depth=True))
+
+
+def go2_ts_depth_train_cfg() -> TrainCfg:
+    return go2_ts_train_cfg()
+
+
+class Go2TSDepth(Go2TS):
+    """TS + depth images in extras["depth"] (N, H, W), rendered at the
+    sensor decimation (reference sensor.depth_camera_config)."""
+
+    def __init__(self, cfg, robot, terrain_seed: int = 0):
+        super().__init__(cfg, robot, terrain_seed)
+        from hcr_genesis_lr_cl_tpu.physics import depth_camera as dc
+
+        self._dc = dc
+        self.ray_dirs = dc.make_ray_dirs(cfg.sensor.depth_camera)
+
+    def init_extra(self, n: int) -> dict:
+        e = super().init_extra(n)
+        W, H = self.cfg.sensor.depth_camera.resolution
+        e["depth"] = jnp.ones((n, H, W))
+        return e
+
+    def post_physics_extra(self, state: EnvState) -> EnvState:
+        state = super().post_physics_extra(state)
+        c = self.cfg.sensor.depth_camera
+        render = (state.common_step % c.decimation) == 0
+        new_depth = self._dc.render_depth(
+            self.terrain, c, state.physics.base_pos, state.physics.base_quat,
+            self.ray_dirs,
+        )
+        depth = jnp.where(render, new_depth, state.extra["depth"])
+        return state.replace(extra={**state.extra, "depth": depth})
+
+    def observe(self, state: EnvState, key):
+        state, obs, priv, extras = super().observe(state, key)
+        extras["depth"] = state.extra["depth"]
+        return state, obs, priv, extras

@@ -100,31 +100,39 @@ def sample_scenarios(key, env, mm, n: int, vx_range=(-0.5, 0.8)):
 
 
 def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
-                   use_gait=False, substeps=4):
+                   use_gait=False, substeps=4, scenario_chunk=1024):
+    """BASELINE configs 1/2: Go2 flat, batched DR scenarios (+ WTW gait cost).
+
+    Scenario batches beyond `scenario_chunk` are processed as lax.map chunks
+    inside the same jit (one solve, bounded compiler memory)."""
     env, mm = make_go2_mpc(substeps=substeps)
     w = mcosts.CostWeights(gait=1.0 if use_gait else 0.0)
-    solver = make_solver(env, mm, w, horizon, n_iters=n_iters)
+    chunk = min(scenario_chunk, num_scenarios)
+    n_chunks = num_scenarios // chunk
+
+    def solve_one(x0, p, u_init):
+        dyn = lambda x, u: mdyn.step(mm, x, u)
+        cost = lambda x, u, up, t: mcosts.stage_cost(mm, w, p, x, u, up, t)
+        term = lambda x: mcosts.terminal_cost(mm, w, p, x)
+        return ilqr.ilqr_solve(dyn, cost, term, x0, u_init, n_iters=n_iters,
+                               alphas=(1.0, 0.1, 0.01, 0.0))
+
+    vsolve = jax.vmap(solve_one)
+
+    @jax.jit
+    def solver(x0, params, u0):
+        resh = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
+        xs = resh(x0)
+        ps = jax.tree.map(resh, params)
+        us = resh(u0)
+        res = jax.lax.map(lambda args: vsolve(*args), (xs, ps, us))
+        return jax.tree.map(lambda a: a.reshape((num_scenarios,) + a.shape[2:]), res)
+
     x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)
     u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
-    res = solver(x0, params, u0)
-    jax.block_until_ready(res.cost)
-    times = []
-    for _ in range(n_solves):
-        t0 = time.time()
-        res = solver(x0, params, u0)
-        jax.block_until_ready(res.cost)
-        times.append(time.time() - t0)
-    times = np.asarray(times)
-    return {
-        "solves_per_sec": 1.0 / times.mean(),
-        "p50_ms": float(np.percentile(times, 50) * 1e3),
-        "p99_ms": float(np.percentile(times, 99) * 1e3),
-        "num_scenarios": num_scenarios,
-        "horizon": horizon,
-        "n_iters": n_iters,
-        "final_cost_mean": float(res.cost.mean()),
-        "initial_cost_mean": float(res.cost_trace[:, 0].mean()),
-    }
+    res, r = _time_solver(solver, x0, params, u0, n_solves)
+    r.update(num_scenarios=num_scenarios, horizon=horizon, n_iters=n_iters)
+    return r
 
 
 def _time_solver(solver, x0, params, u0, n_solves):

@@ -1,0 +1,55 @@
+"""Gamepad teleoperation command source (reference legged_gym/scripts/joystick.py).
+
+Maps xbox/switch-style gamepad axes to [lin_vel_x, lin_vel_y, ang_vel_yaw]
+commands. Requires pygame (optional dependency; headless images go without —
+the play CLI degrades gracefully).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+AXIS_MAPS = {
+    # name: (axis_vx, axis_vy, axis_wz, invert_vx, invert_vy, invert_wz)
+    "xbox": (1, 0, 3, True, True, True),
+    "switch": (1, 0, 2, True, True, True),
+}
+
+
+class Joystick:
+    def __init__(self, joystick_type: str = "xbox", scale=(1.0, 0.5, 1.0),
+                 deadzone: float = 0.1):
+        try:
+            import pygame
+        except ImportError as e:
+            raise RuntimeError(
+                "pygame is required for joystick teleop (not bundled in "
+                "headless images); use scripted commands instead"
+            ) from e
+        self._pygame = pygame
+        pygame.init()
+        pygame.joystick.init()
+        if pygame.joystick.get_count() == 0:
+            raise RuntimeError("no gamepad detected")
+        self.js = pygame.joystick.Joystick(0)
+        self.js.init()
+        self.map = AXIS_MAPS.get(joystick_type, AXIS_MAPS["xbox"])
+        self.scale = scale
+        self.deadzone = deadzone
+
+    def read(self) -> np.ndarray:
+        """Returns [vx, vy, wz] commands."""
+        self._pygame.event.pump()
+        ax_vx, ax_vy, ax_wz, ivx, ivy, iwz = self.map
+
+        def axis(i, invert, s):
+            v = float(self.js.get_axis(i))
+            if abs(v) < self.deadzone:
+                return 0.0
+            return (-v if invert else v) * s
+
+        return np.array([
+            axis(ax_vx, ivx, self.scale[0]),
+            axis(ax_vy, ivy, self.scale[1]),
+            axis(ax_wz, iwz, self.scale[2]),
+        ])

@@ -1,0 +1,42 @@
+"""Depth camera: analytic plane-intersection check."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import DepthCameraCfg, TerrainCfg
+from hcr_genesis_lr_cl_tpu.physics import depth_camera as dc
+from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField
+
+
+class TestDepthCamera:
+    def test_flat_plane_analytic(self):
+        cfg = DepthCameraCfg(resolution=(16, 12), pos=(0.0, 0.0, 0.0))
+        terrain = TerrainField.plane(TerrainCfg())
+        rays = dc.make_ray_dirs(cfg)
+        base_pos = jnp.array([[0.0, 0.0, 0.5]])
+        base_quat = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+        img = dc.render_depth(terrain, cfg, base_pos, base_quat, rays, n_steps=256)
+        img = np.asarray(img)[0]  # (H, W)
+        W, H = cfg.resolution
+        dirs = rays.reshape(H, W, 3)
+        # analytic: t = z0 / (-dz) for downward rays, else far clip
+        z0 = 0.5
+        dz = dirs[..., 2]
+        t_true = np.where(dz < -1e-6, z0 / np.maximum(-dz, 1e-6), cfg.far_clip)
+        t_true = np.clip(t_true, cfg.near_clip, cfg.far_clip)
+        norm_true = (t_true - cfg.near_clip) / (cfg.far_clip - cfg.near_clip)
+        # marching resolution limits accuracy; midpoint refinement halves it
+        step = (cfg.far_clip - cfg.near_clip) / 256
+        tol = (step / (cfg.far_clip - cfg.near_clip)) * 1.1 + 1e-3
+        np.testing.assert_allclose(img, norm_true, atol=tol)
+
+    def test_upper_rays_hit_far_clip(self):
+        cfg = DepthCameraCfg(resolution=(8, 8))
+        terrain = TerrainField.plane(TerrainCfg())
+        rays = dc.make_ray_dirs(cfg)
+        img = dc.render_depth(
+            terrain, cfg, jnp.array([[0.0, 0.0, 0.3]]),
+            jnp.array([[1.0, 0.0, 0.0, 0.0]]), rays,
+        )
+        # top image rows look up: no hit -> normalized 1.0
+        assert float(np.asarray(img)[0, 0].min()) == 1.0
