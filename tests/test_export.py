@@ -1,0 +1,63 @@
+"""Deployment export: flax -> torch numerical round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from hcr_genesis_lr_cl_tpu.envs import registry
+from hcr_genesis_lr_cl_tpu.models.export import export_policy, mlp_to_torch
+from hcr_genesis_lr_cl_tpu.rl.runner import make_runner
+
+
+class TestExport:
+    def test_mlp_conversion_exact(self):
+        from hcr_genesis_lr_cl_tpu.models.networks import MLP
+
+        mlp = MLP((32, 16), 4, "elu")
+        params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((1, 8)))
+        x = np.random.default_rng(0).normal(size=(5, 8)).astype(np.float32)
+        y_flax = np.asarray(mlp.apply(params, jnp.asarray(x)))
+        tm = mlp_to_torch(jax.device_get(params)["params"], "elu")
+        with torch.no_grad():
+            y_torch = tm(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(y_flax, y_torch, atol=1e-5)
+
+    def test_plain_policy_export(self, tmp_path):
+        env = registry.make_env("go2", num_envs=4)
+        _, tcfg = registry.get_cfgs("go2")
+        runner = make_runner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        pt, onnx = export_policy(
+            "OnPolicyRunner", jax.device_get(st.ppo.params), tcfg.policy,
+            env.cfg.env, str(tmp_path),
+        )
+        # exported TorchScript module reproduces the jax actor
+        mod = torch.jit.load(pt)
+        obs = np.random.default_rng(1).normal(size=(3, 45)).astype(np.float32)
+        with torch.no_grad():
+            a_torch = mod(torch.from_numpy(obs)).numpy()
+        a_jax = np.asarray(runner.alg.act_inference(st.ppo.params, jnp.asarray(obs)))
+        np.testing.assert_allclose(a_jax, a_torch, atol=1e-5)
+
+    def test_ts_student_export(self, tmp_path):
+        env = registry.make_env("go2_ts", num_envs=4)
+        _, tcfg = registry.get_cfgs("go2_ts")
+        runner = make_runner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        pt, onnx = export_policy(
+            "TSRunner", jax.device_get(st.ppo.params), tcfg.policy,
+            env.cfg.env, str(tmp_path),
+        )
+        mod = torch.jit.load(pt)
+        rng = np.random.default_rng(2)
+        obs = rng.normal(size=(2, 45)).astype(np.float32)
+        hist = rng.normal(size=(2, 45 * env.cfg.env.frame_stack)).astype(np.float32)
+        with torch.no_grad():
+            a_torch = mod(torch.from_numpy(obs), torch.from_numpy(hist)).numpy()
+        a_jax = np.asarray(
+            runner.alg.act_inference(st.ppo.params, jnp.asarray(obs), jnp.asarray(hist))
+        )
+        np.testing.assert_allclose(a_jax, a_torch, atol=1e-5)
