@@ -3,20 +3,21 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Headline metric (BASELINE.json): MPC solves/sec/chip — Go2, 4096 batched
-scenarios, horizon T=50 — with p99 solve latency against the 20 ms (50 Hz)
-real-time budget. `vs_baseline` reports the real-time factor: how many 50 Hz
-control budgets one batched solve fits into (>1.0 == faster than real time).
+domain-randomized scenarios, horizon T=50, iLQR (2 iterations, parallel line
+search), scenario-chunked dispatch. `vs_baseline` is the real-time factor
+against the 20 ms (50 Hz) control budget (1.0 == one batched 4096-scenario
+solve per control tick).
 
-Secondary metrics (printed as extra lines prefixed '#'): PPO training
-throughput (env steps/s, the reference's own figure of merit,
-on_policy_runner.py:191) — the reference repo publishes no number for it.
+Secondary lines (prefixed '#'): solve latency percentiles and PPO training
+throughput (env steps/s — the reference's own figure of merit,
+on_policy_runner.py:191; the reference repo publishes no number for it).
 """
 
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
 
 
 def bench_training(num_envs=4096, iters=5):
@@ -27,40 +28,49 @@ def bench_training(num_envs=4096, iters=5):
     _, tcfg = registry.get_cfgs("go2")
     runner = OnPolicyRunner(env, tcfg)
     st = runner.init_state(jax.random.PRNGKey(0))
-    step = jax.jit(runner.train_iteration)
-    st, info = step(st)
-    jax.block_until_ready(info["loss"])
+    blk = jax.jit(lambda s: runner.train_block(s, iters))
+    st, infos = blk(st)
+    jax.block_until_ready(infos["loss"])
     t0 = time.time()
-    for _ in range(iters):
-        st, info = step(st)
-    jax.block_until_ready(info["loss"])
+    st, infos = blk(st)
+    jax.block_until_ready(infos["loss"])
     dt = (time.time() - t0) / iters
     return tcfg.runner.num_steps_per_env * num_envs / dt
 
 
-def bench_mpc(num_scenarios=4096, horizon=50, solves=10):
-    from hcr_genesis_lr_cl_tpu.mpc import benchmarks
-
-    return benchmarks.bench_go2_flat(num_scenarios=num_scenarios, horizon=horizon,
-                                     n_solves=solves)
-
-
 def main():
+    num_scenarios = int(os.environ.get("BENCH_MPC_SCENARIOS", 4096))
+    horizon = int(os.environ.get("BENCH_MPC_HORIZON", 50))
+    n_iters = int(os.environ.get("BENCH_MPC_ITERS", 2))
+    n_solves = int(os.environ.get("BENCH_MPC_SOLVES", 2))
     try:
-        r = bench_mpc()
-        per_solve = 1.0 / r["solves_per_sec"]
-        print(f"# mpc p50 {r['p50_ms']:.2f} ms, p99 {r['p99_ms']:.2f} ms per solve "
-              f"({r['num_scenarios']} scenarios, T={r['horizon']})", flush=True)
-        fps = bench_training(num_envs=1024, iters=3)
-        print(f"# training throughput: {fps:,.0f} env steps/s (1024 envs)", flush=True)
+        from hcr_genesis_lr_cl_tpu.mpc import benchmarks
+
+        r = benchmarks.bench_go2_flat(
+            num_scenarios=num_scenarios, horizon=horizon, n_solves=n_solves,
+            n_iters=n_iters,
+        )
+        print(
+            f"# mpc p50 {r['p50_ms']:.0f} ms, p99 {r['p99_ms']:.0f} ms per solve "
+            f"({r['num_scenarios']} scenarios, T={r['horizon']}, "
+            f"{r['n_iters']} iLQR iters); cost {r['initial_cost_mean']:.1f}"
+            f"->{r['final_cost_mean']:.1f}",
+            flush=True,
+        )
+        try:
+            fps = bench_training()
+            print(f"# training throughput: {fps:,.0f} env steps/s "
+                  f"(Go2 flat, 4096 envs, fused Pallas physics)", flush=True)
+        except Exception as e:
+            print(f"# training bench skipped: {e}", flush=True)
+        per_solve_s = 1.0 / r["solves_per_sec"]
         print(json.dumps({
             "metric": "MPC solves/sec/chip (Go2, 4096 scenarios, T=50)",
-            "value": round(r["solves_per_sec"], 3),
+            "value": round(r["solves_per_sec"], 4),
             "unit": "solves/s",
-            # real-time factor vs the 20 ms (50 Hz) control budget
-            "vs_baseline": round(0.020 / per_solve, 3),
+            "vs_baseline": round(0.020 / per_solve_s, 6),
         }))
-    except Exception as e:  # MPC engine not available: fall back to training fps
+    except Exception:
         import traceback
 
         traceback.print_exc()

@@ -117,16 +117,20 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
         return ilqr.ilqr_solve(dyn, cost, term, x0, u_init, n_iters=n_iters,
                                alphas=(1.0, 0.1, 0.01, 0.0))
 
-    vsolve = jax.vmap(solve_one)
+    vsolve = jax.jit(jax.vmap(solve_one))
 
-    @jax.jit
     def solver(x0, params, u0):
+        # scenario chunks dispatched sequentially: bounds both the remote
+        # compiler's program size and the single-execute runtime (a monolithic
+        # 4096-scenario executable tripped both)
         resh = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
-        xs = resh(x0)
+        xs, us = resh(x0), resh(u0)
         ps = jax.tree.map(resh, params)
-        us = resh(u0)
-        res = jax.lax.map(lambda args: vsolve(*args), (xs, ps, us))
-        return jax.tree.map(lambda a: a.reshape((num_scenarios,) + a.shape[2:]), res)
+        outs = [
+            vsolve(xs[i], jax.tree.map(lambda a: a[i], ps), us[i])
+            for i in range(n_chunks)
+        ]
+        return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *outs)
 
     x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)
     u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
