@@ -27,10 +27,14 @@ def _masked_adam(lr, params, module_names):
 
 
 def _mb_scan(key, total, n_steps, mb_size, body, init):
-    perm = jax.random.permutation(key, total)
-    reps = (n_steps * mb_size + total - 1) // total
-    idx = jnp.tile(perm, (reps,))[: n_steps * mb_size].reshape(n_steps, mb_size)
-    return jax.lax.scan(body, init, idx)
+    """Scan `body` over rotated contiguous minibatch start offsets (row
+    gathers are pathologically slow on the TPU backend; see ppo.update)."""
+    from hcr_genesis_lr_cl_tpu.rl.ppo import _rotated_minibatch_starts
+
+    n_mb = max(1, total // mb_size)
+    n_epochs = (n_steps + n_mb - 1) // n_mb
+    starts = _rotated_minibatch_starts(key, n_epochs, n_mb, total, mb_size)
+    return jax.lax.scan(body, init, starts[:n_steps])
 
 
 class PPO_TS(PPO):
@@ -81,10 +85,15 @@ class PPO_TS(PPO):
         n_steps = cfg.num_learning_epochs * cfg.num_mini_batches
         mb_size = total // cfg.num_mini_batches
 
-        def body(carry, mb_idx):
+        flat2 = {
+            k: jnp.concatenate([flat[k], flat[k]], axis=0)
+            for k in ("obs_history", "privileged_obs", "terminated")
+        }
+
+        def body(carry, start):
             params, opt_state = carry
-            mb = {k: flat[k][mb_idx] for k in
-                  ("obs_history", "privileged_obs", "terminated")}
+            mb = {k: jax.lax.dynamic_slice_in_dim(v, start, mb_size)
+                  for k, v in flat2.items()}
             loss, grads = jax.value_and_grad(self._encoder_loss)(params, mb)
             updates, opt_state = self.enc_tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -138,9 +147,15 @@ class PPO_EE(PPO):
         n_steps = cfg.num_learning_epochs * cfg.num_mini_batches
         mb_size = total // cfg.num_mini_batches
 
-        def body(carry, mb_idx):
+        flat2 = {
+            k: jnp.concatenate([flat[k], flat[k]], axis=0)
+            for k in ("obs", "estimator_labels", "terminated")
+        }
+
+        def body(carry, start):
             params, opt_state = carry
-            mb = {k: flat[k][mb_idx] for k in ("obs", "estimator_labels", "terminated")}
+            mb = {k: jax.lax.dynamic_slice_in_dim(v, start, mb_size)
+                  for k, v in flat2.items()}
             loss, grads = jax.value_and_grad(self._estimator_loss)(params, mb)
             updates, opt_state = self.est_tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -241,11 +256,16 @@ class PPO_DreamWaQ(PPO):
         mb_size = total // cfg.num_mini_batches
         k_perm, k_loss = jax.random.split(key)
 
+        flat2 = {
+            k: jnp.concatenate([flat[k], flat[k]], axis=0)
+            for k in ("obs_history", "explicit_labels", "next_obs", "terminated")
+        }
+
         def body(carry, inp):
             params, opt_state = carry
-            i, mb_idx = inp
-            mb = {k: flat[k][mb_idx] for k in
-                  ("obs_history", "explicit_labels", "next_obs", "terminated")}
+            i, start = inp
+            mb = {k: jax.lax.dynamic_slice_in_dim(v, start, mb_size)
+                  for k, v in flat2.items()}
             (loss, aux), grads = jax.value_and_grad(self._vae_loss, has_aux=True)(
                 params, mb, jax.random.fold_in(k_loss, i)
             )
@@ -253,11 +273,14 @@ class PPO_DreamWaQ(PPO):
             params = optax.apply_updates(params, updates)
             return (params, opt_state), jnp.stack([loss, *aux])
 
-        perm = jax.random.permutation(k_perm, total)
-        reps = (n_steps * mb_size + total - 1) // total
-        idx = jnp.tile(perm, (reps,))[: n_steps * mb_size].reshape(n_steps, mb_size)
+        from hcr_genesis_lr_cl_tpu.rl.ppo import _rotated_minibatch_starts
+
+        n_mb = max(1, total // mb_size)
+        n_epochs = (n_steps + n_mb - 1) // n_mb
+        starts = _rotated_minibatch_starts(k_perm, n_epochs, n_mb, total, mb_size)
         (params, eos), stats = jax.lax.scan(
-            body, (st.params, st.extra_opt_state), (jnp.arange(n_steps), idx)
+            body, (st.params, st.extra_opt_state),
+            (jnp.arange(n_steps), starts[:n_steps]),
         )
         m = stats.mean(axis=0)
         return (
