@@ -1,0 +1,100 @@
+"""MPC dynamics through the fused Pallas kernel + finite-difference Jacobians.
+
+The exact-autodiff linearization (jacfwd through the XLA dynamics) dominates
+iLQR solve time and cannot run through a Pallas kernel (no autodiff rule).
+Finite differences invert the trade: every Jacobian column is just one more
+batched forward evaluation, and ALL evaluations (S scenarios x T knots x
+(nx+nu+1) perturbations) go through the fused kernel in one dispatch at
+speed-of-light. iLQR is a line-searched descent method, so first-order FD
+accuracy (~1e-3 relative in f32) costs iterations, not correctness.
+
+Flat-plane terrain only (the kernel's scope); heightfield MPC keeps the
+autodiff path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import ControlCfg, SimCfg
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.ops.substep_kernel import make_pallas_control_step
+
+
+def make_kernel_dyn(mm: mdyn.MpcModel, block_b: int = 512, interpret: bool = False):
+    """Batched dynamics X (B, nx), U_topo (B, nu) -> X' via the fused kernel.
+
+    B must be padded to a multiple of block_b by the caller (pad_batch)."""
+    sim = SimCfg(
+        dt=mm.dt, substeps=mm.substeps,
+        contact_stiffness=mm.contact_stiffness, contact_damping=mm.contact_damping,
+        contact_friction_vel=mm.contact_friction_vel,
+        joint_limit_stiffness=mm.joint_limit_stiffness,
+        joint_limit_damping=mm.joint_limit_damping,
+    )
+    control = ControlCfg(decimation=1, action_scale=float(mm.gains.action_scale))
+    call = make_pallas_control_step(
+        mm.model, mm.gains, sim, control, block_b=block_b, interpret=interpret
+    )
+    nj = mm.model.nj
+
+    def dyn_batch(X, U_topo):
+        B0 = X.shape[0]
+        X, _ = pad_batch(X, block_b)
+        U_topo, _ = pad_batch(U_topo, block_b)
+        B = X.shape[0]
+        quat, pos, v, q, qd = mdyn.unpack(mm.model, X)
+        T = jnp.transpose
+        ones = jnp.ones((1, B), dtype=jnp.float32)
+        zeros3 = jnp.zeros((3, B), dtype=jnp.float32)
+        onesj = jnp.ones((nj, B), dtype=jnp.float32)
+        quat_n, pos_n, v_n, q_n, qd_n, _, _ = call(
+            T(quat), T(pos), T(v), T(q), T(qd),
+            mm.friction * ones, 0.0 * ones, zeros3, onesj, onesj, T(U_topo),
+        )
+        out = jnp.concatenate(
+            [T(quat_n), T(pos_n), T(v_n), T(q_n), T(qd_n)], axis=-1
+        )
+        return out[:B0]
+
+    return dyn_batch
+
+
+def fd_linearize(dyn_batch, xs, us, eps_x: float = 1e-3, eps_u: float = 1e-3):
+    """Central-free forward-difference Jacobians for a whole trajectory batch.
+
+    xs: (M, nx), us: (M, nu) flattened scenario*knot rows.
+    Returns fx (M, nx, nx), fu (M, nx, nu). Total kernel batch:
+    M * (1 + nx + nu) rows in one dispatch.
+    """
+    M, nx = xs.shape
+    nu = us.shape[1]
+    base = jnp.concatenate([xs, us], axis=-1)  # (M, nx+nu)
+    eye_x = jnp.eye(nx) * eps_x
+    eye_u = jnp.eye(nu) * eps_u
+    # perturbation rows: [none, x+eps e_i ..., u+eps e_j ...]
+    px = jnp.concatenate([eye_x, jnp.zeros((nx, nu))], axis=-1)  # (nx, nx+nu)
+    pu = jnp.concatenate([jnp.zeros((nu, nx)), eye_u], axis=-1)  # (nu, nx+nu)
+    pert = jnp.concatenate([jnp.zeros((1, nx + nu)), px, pu], axis=0)  # (P, nx+nu)
+    P = pert.shape[0]
+    big = base[:, None, :] + pert[None, :, :]  # (M, P, nx+nu)
+    big = big.reshape(M * P, nx + nu)
+    out = dyn_batch(big[:, :nx], big[:, nx:])  # (M*P, nx)
+    out = out.reshape(M, P, nx)
+    f0 = out[:, 0]
+    fx = (out[:, 1 : 1 + nx] - f0[:, None, :]) / eps_x  # (M, nx, nx) d/dxi rows
+    fu = (out[:, 1 + nx :] - f0[:, None, :]) / eps_u
+    # transpose to Jacobian convention: [out_dim, in_dim]
+    return f0, jnp.swapaxes(fx, -1, -2), jnp.swapaxes(fu, -1, -2)
+
+
+def pad_batch(x, multiple):
+    B = x.shape[0]
+    pad = (-B) % multiple
+    if pad == 0:
+        return x, B
+    return jnp.concatenate([x, jnp.tile(x[-1:], (pad,) + (1,) * (x.ndim - 1))]), B

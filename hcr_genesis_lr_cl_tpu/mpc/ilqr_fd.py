@@ -1,0 +1,189 @@
+"""iLQR with finite-difference linearization through the fused Pallas kernel.
+
+The scenario batch is explicit (flat kernel batches) instead of vmapped:
+- rollout / line-search forward passes: lax.scan over T with the whole
+  (alphas x scenarios) batch per kernel dispatch;
+- linearization: ONE batched kernel call for all S x T x (nx+nu+1)
+  perturbation rows (fast_dynamics.fd_linearize);
+- cost quadratization: exact autodiff (no dynamics inside -> cheap);
+- backward Riccati: the regularized recursion vmapped over scenarios.
+
+Controls are in the task's user dof order throughout (scattered to
+topological order only at the kernel boundary).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
+from hcr_genesis_lr_cl_tpu.physics.algebra import solve_psd
+
+
+class FdIlqrResult(NamedTuple):
+    xs: jnp.ndarray  # (S, T+1, nx)
+    us: jnp.ndarray  # (S, T, nu)
+    cost: jnp.ndarray  # (S,)
+    cost_trace: jnp.ndarray  # (S, n_iters+1)
+
+
+def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
+                   n_iters: int = 3, reg: float = 0.5,
+                   alphas=(1.0, 0.1, 0.01, 0.0), block_b: int = 512,
+                   interpret: bool = False):
+    T = horizon
+    nx = mdyn.nx(mm.model)
+    nu = mm.model.nj
+    uidx = jnp.asarray(mm.model.user_dof_idx)
+    dyn_batch = fdy.make_kernel_dyn(mm, block_b=block_b, interpret=interpret)
+    alphas_arr = jnp.asarray(alphas)
+    A = len(alphas)
+
+    def to_topo(u):
+        return jnp.zeros(u.shape[:-1] + (nu,)).at[..., uidx].set(u)
+
+    def stage_cost(p, x, u, up, t):
+        return mcosts.stage_cost(mm, weights, p, x, u, up, t)
+
+    def term_cost(p, x):
+        return mcosts.terminal_cost(mm, weights, p, x)
+
+    def rollout(x0, us):
+        """x0 (B, nx), us (B, T, nu) -> xs (B, T+1, nx)."""
+
+        def f(x, u):
+            xn = dyn_batch(x, to_topo(u))
+            return xn, xn
+
+        _, xs = jax.lax.scan(f, x0, jnp.swapaxes(us, 0, 1))
+        return jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+
+    def total_cost(params, xs, us):
+        """(S, T+1, nx), (S, T, nu) -> (S,)."""
+        up = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        ts = jnp.arange(T)
+        stage = jax.vmap(  # over scenarios
+            lambda p, xr, ur, upr: jax.vmap(stage_cost, in_axes=(None, 0, 0, 0, 0))(
+                p, xr, ur, upr, ts
+            )
+        )(params, xs[:, :-1], us, up)
+        terml = jax.vmap(term_cost)(params, xs[:, -1])
+        return stage.sum(axis=1) + terml
+
+    def quadratize(params, xs, us):
+        up = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        ts = jnp.arange(T)
+
+        def knot(p, x, u, upr, t):
+            lx = jax.grad(stage_cost, argnums=1)(p, x, u, upr, t)
+            lu = jax.grad(stage_cost, argnums=2)(p, x, u, upr, t)
+            lxx = jax.hessian(stage_cost, argnums=1)(p, x, u, upr, t)
+            luu = jax.hessian(stage_cost, argnums=2)(p, x, u, upr, t)
+            lux = jax.jacfwd(jax.grad(stage_cost, argnums=2), argnums=1)(p, x, u, upr, t)
+            return lx, lu, lxx, luu, lux
+
+        out = jax.vmap(
+            lambda p, xr, ur, upr: jax.vmap(knot, in_axes=(None, 0, 0, 0, 0))(
+                p, xr, ur, upr, ts
+            )
+        )(params, xs[:, :-1], us, up)
+        vxT = jax.vmap(jax.grad(term_cost, argnums=1))(params, xs[:, -1])
+        vxxT = jax.vmap(jax.hessian(term_cost, argnums=1))(params, xs[:, -1])
+        return out + (vxT, vxxT)
+
+    def backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
+        """All (S, T, ...) -> gains ks (S, T, nu), Ks (S, T, nu, nx)."""
+
+        def one(fx, fu, lx, lu, lxx, luu, lux, vx, vxx):
+            def bstep(carry, inp):
+                vx, vxx = carry
+                fx_t, fu_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+                qx = lx_t + fx_t.T @ vx
+                qu = lu_t + fu_t.T @ vx
+                qxx = lxx_t + fx_t.T @ vxx @ fx_t
+                vxx_r = vxx + reg * jnp.eye(nx)
+                quu_r = luu_t + fu_t.T @ vxx_r @ fu_t + reg * jnp.eye(nu)
+                qux_r = lux_t + fu_t.T @ vxx_r @ fx_t
+                quu = luu_t + fu_t.T @ vxx @ fu_t
+                qux = lux_t + fu_t.T @ vxx @ fx_t
+                k = -solve_psd(quu_r, qu)
+                K = -jax.vmap(lambda b: solve_psd(quu_r, b), in_axes=-1,
+                              out_axes=-1)(qux_r)
+                vx_n = qx + K.T @ quu @ k + K.T @ qu + qux.T @ k
+                vxx_n = qxx + K.T @ quu @ K + K.T @ qux + qux.T @ K
+                return (vx_n, 0.5 * (vxx_n + vxx_n.T)), (k, K)
+
+            (_, _), (ks, Ks) = jax.lax.scan(
+                bstep, (vx, vxx), (fx, fu, lx, lu, lxx, luu, lux), reverse=True
+            )
+            return ks, Ks
+
+        return jax.vmap(one)(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
+
+    def forward_all(params, x0, xs, us, ks, Ks):
+        """Evaluate the whole alpha grid in one batched T-scan.
+
+        Batch layout: (A*S) rows; returns best (xs, us, cost) per scenario."""
+        S = x0.shape[0]
+        rep = lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1))
+        al = jnp.repeat(alphas_arr, S)  # (A*S,)
+        x0b = rep(x0)
+        xsb, usb, ksb, Ksb = rep(xs), rep(us), rep(ks), rep(Ks)
+
+        def fstep(x, inp):
+            x_bar, u_bar, k, K = inp
+            u = u_bar + al[:, None] * k + jnp.einsum("bux,bx->bu", K, x - x_bar)
+            xn = dyn_batch(x, to_topo(u))
+            return xn, (xn, u)
+
+        inp = (
+            jnp.swapaxes(xsb[:, :-1], 0, 1), jnp.swapaxes(usb, 0, 1),
+            jnp.swapaxes(ksb, 0, 1), jnp.swapaxes(Ksb, 0, 1),
+        )
+        _, (xs_n, us_n) = jax.lax.scan(fstep, x0b, inp)
+        xs_n = jnp.concatenate([x0b[:, None], jnp.swapaxes(xs_n, 0, 1)], axis=1)
+        us_n = jnp.swapaxes(us_n, 0, 1)
+        pb = jax.tree.map(rep, params)
+        costs = total_cost(pb, xs_n, us_n)  # (A*S,)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        costs = costs.reshape(A, S)
+        best = jnp.argmin(costs, axis=0)  # (S,)
+        gather = lambda z: z.reshape((A, S) + z.shape[1:])[best, jnp.arange(S)]
+        return gather(xs_n), gather(us_n), costs[best, jnp.arange(S)]
+
+    def solve(x0, params, u_init):
+        xs = rollout(x0, u_init)
+        c0 = total_cost(params, xs, u_init)
+
+        def iteration(carry, _):
+            xs, us, best_cost = carry
+            up = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+            S = x0.shape[0]
+            flat_x = xs[:, :-1].reshape(S * T, nx)
+            flat_u = to_topo(us.reshape(S * T, nu))
+            _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u)
+            # fu columns are w.r.t. topo-order controls; permute to user order
+            fx = fx.reshape(S, T, nx, nx)
+            fu = fu.reshape(S, T, nx, nu)[..., uidx]
+            lx, lu, lxx, luu, lux, vxT, vxxT = quadratize(params, xs, us)
+            ks, Ks = backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
+            xs_n, us_n, cost_n = forward_all(params, x0, xs, us, ks, Ks)
+            better = cost_n < best_cost
+            xs = jnp.where(better[:, None, None], xs_n, xs)
+            us = jnp.where(better[:, None, None], us_n, us)
+            best_cost = jnp.minimum(cost_n, best_cost)
+            return (xs, us, best_cost), best_cost
+
+        (xs, us, cost), trace = jax.lax.scan(
+            iteration, (xs, u_init, c0), None, length=n_iters
+        )
+        return FdIlqrResult(
+            xs, us, cost, jnp.concatenate([c0[:, None], trace.T], axis=1)
+        )
+
+    return jax.jit(solve)

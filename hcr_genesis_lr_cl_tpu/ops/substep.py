@@ -246,12 +246,13 @@ def substep(C: SubstepConsts, st: dict, dr: dict, target: list):
     ]
     quat_new = soa.quat_integrate(quat, v_new[0:3], C.dt_sub)
     pos_new = soa.v3_add(pos, soa.v3_scale(soa.m3_matvec(R[0], v_new[3:6]), C.dt_sub))
+    # semi-implicit: q advances with the NEW (pre-clip) qd, then the velocity
+    # limit clamps — matching engine.step's integrate-then-clip order exactly
+    qd_unc = [qd[j] + C.dt_sub * qdd[j] for j in range(nj)]
+    q_new = [q[j] + C.dt_sub * qd_unc[j] for j in range(nj)]
     qd_new = [
-        jnp.clip(qd[j] + C.dt_sub * qdd[j], -C.vel_limit[j], C.vel_limit[j])
-        for j in range(nj)
+        jnp.clip(qd_unc[j], -C.vel_limit[j], C.vel_limit[j]) for j in range(nj)
     ]
-    # semi-implicit: q advances with the NEW qd
-    q_new = [q[j] + C.dt_sub * qd_new[j] for j in range(nj)]
     return {
         "quat": quat_new, "pos": pos_new, "v": v_new,
         "q": q_new, "qd": qd_new,

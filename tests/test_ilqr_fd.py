@@ -1,0 +1,71 @@
+"""FD-kernel iLQR vs the autodiff solver (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
+from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+
+class TestFdDynamics:
+    def test_kernel_dyn_matches_mdyn(self):
+        env, mm = mb.make_go2_mpc(substeps=2)
+        dyn_b = fdy.make_kernel_dyn(mm, block_b=8, interpret=True)
+        x0, _ = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 4)
+        u = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (4, 12))
+        uidx = jnp.asarray(env.model.user_dof_idx)
+        u_topo = jnp.zeros_like(u).at[:, uidx].set(u)
+        x1_k = jax.jit(dyn_b)(x0, u_topo)
+        x1_ref = jax.jit(jax.vmap(lambda x, uu: mdyn.step(mm, x, uu)))(x0, u)
+        np.testing.assert_allclose(np.asarray(x1_k), np.asarray(x1_ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_fd_jacobian_matches_fd_through_xla_dynamics(self):
+        """FD-through-kernel == FD-through-XLA-dynamics with the same stencil.
+
+        A direct FD-vs-autodiff check is ill-posed here: the penalty contact
+        has activation kinks in (height, quat), and a one-sided stencil that
+        straddles a kink legitimately diverges from the exact derivative.
+        Comparing two FD paths with identical stencils hits the kinks
+        identically, isolating what this test is for: the fused kernel
+        linearizes the same dynamics as the reference XLA path."""
+        env, mm = mb.make_go2_mpc(substeps=2)
+        dyn_b = fdy.make_kernel_dyn(mm, block_b=8, interpret=True)
+        x0, _ = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
+        uidx = jnp.asarray(env.model.user_dof_idx)
+        u_topo = jnp.zeros((2, 12))
+
+        def dyn_xla(X, U_topo):
+            return jax.vmap(lambda x, ut: mdyn.step(mm, x, ut[uidx]))(X, U_topo)
+
+        f0_k, fx_k, fu_k = jax.jit(
+            lambda x, u: fdy.fd_linearize(dyn_b, x, u))(x0, u_topo)
+        f0_x, fx_x, fu_x = jax.jit(
+            lambda x, u: fdy.fd_linearize(dyn_xla, x, u))(x0, u_topo)
+        np.testing.assert_allclose(np.asarray(f0_k), np.asarray(f0_x),
+                                   rtol=1e-3, atol=1e-3)
+        for a, b in ((fx_k, fx_x), (fu_k, fu_x)):
+            err = np.abs(np.asarray(a) - np.asarray(b))
+            scale = np.maximum(np.abs(np.asarray(b)), 1.0)
+            # FD amplifies forward-pass f32 noise by 1/eps=1e3; columns whose
+            # stencil crosses a contact kink are the worst case
+            assert float((err / scale).max()) < 0.05
+
+
+class TestFdSolver:
+    def test_fd_solver_descends(self):
+        env, mm = mb.make_go2_mpc(substeps=2)
+        solver = ilqr_fd.make_fd_solver(
+            mm, mcosts.CostWeights(), horizon=8, n_iters=3, block_b=8,
+            interpret=True,
+        )
+        x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
+        res = solver(x0, params, jnp.zeros((2, 8, 12)))
+        trace = np.asarray(res.cost_trace)
+        assert np.all(np.isfinite(trace))
+        assert np.all(trace[:, -1] <= trace[:, 0] + 1e-4)
+        assert float(trace[:, -1].mean()) < 0.97 * float(trace[:, 0].mean())
