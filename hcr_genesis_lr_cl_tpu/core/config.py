@@ -120,6 +120,7 @@ class InitStateCfg(_Cfg):
     alt_init_percent: float = 0.0
     alt_joint_angles: Tuple[Tuple[str, float], ...] = ()
     alt_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    alt_pitch: float = 0.0  # sit-pose pitch (tron1_pf_ee_config.py sit_pitch_angle)
 
 
 @dataclass(frozen=True)
@@ -228,6 +229,10 @@ class PeriodicRewardCfg(_Cfg):
     theta_fr_list: Tuple[float, ...] = (0.5, 0.0, 0.0, 0.0)
     theta_rl_list: Tuple[float, ...] = (0.5, 0.0, 0.5, 0.5)
     theta_rr_list: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.5)
+    # biped variant (reference tron1_pf_ee_config.py periodic_reward_framework)
+    theta_left: float = 0.0
+    theta_right: float = 0.5
+    gait_period: float = 0.5  # [s]
 
 
 @dataclass(frozen=True)

@@ -375,6 +375,12 @@ class LeggedEnv:
             alt_pos = jnp.asarray(c.init_state.alt_pos) + state.env_origins
             pos = jnp.where(alt[:, None], alt_pos, pos)
             v_base = jnp.where(alt[:, None], 0.0, v_base)
+            if c.init_state.alt_pitch:
+                zero = jnp.zeros((n,))
+                alt_quat = hm.quat_from_euler_xyz(
+                    zero, jnp.full((n,), c.init_state.alt_pitch), zero
+                )
+                quat = jnp.where(alt[:, None], alt_quat, quat)
 
         return PhysicsState(
             base_quat=quat, base_pos=pos, v_base=v_base, q=q_topo,

@@ -78,6 +78,10 @@ def _register_builtin():
     from hcr_genesis_lr_cl_tpu.envs.tasks import bipedal_walker, tron1
 
     register("tron1_pf", tron1.TRON1PF, tron1.tron1_pf_cfg, tron1.tron1_pf_train_cfg)
+    from hcr_genesis_lr_cl_tpu.envs.tasks import tron1_pf_ee
+
+    register("tron1_pf_ee", tron1_pf_ee.TRON1PF_EE, tron1_pf_ee.tron1_pf_ee_cfg,
+             tron1_pf_ee.tron1_pf_ee_train_cfg)
     register("tron1_sf", tron1.TRON1SF, tron1.tron1_sf_cfg, tron1.tron1_sf_train_cfg)
     register("bipedal_walker", bipedal_walker.BipedalWalker,
              bipedal_walker.bipedal_walker_cfg, bipedal_walker.bipedal_walker_train_cfg)

@@ -59,6 +59,7 @@ class StackedBipedEnv(LeggedEnv):
     def reset_extra(self, state: EnvState, mask) -> dict:
         w = lambda z: jnp.where(mask[:, None, None], jnp.zeros_like(z), z)
         return {
+            **state.extra,
             "obs_history": w(state.extra["obs_history"]),
             "critic_history": w(state.extra["critic_history"]),
         }

@@ -1,0 +1,380 @@
+"""TRON1 point-foot biped, explicit-estimator + periodic gait (rough terrain).
+
+Reference: legged_gym/envs/tron1_pf/tron1_pf_ee/tron1_pf_ee.py + config —
+the EE variant deployed on the real TRON1. Single obs (31) = base biped obs
+(27) + gait clock sin/cos per leg (4); estimator features = 10-frame obs
+history; estimator labels (17) = [lin_vel(3), link contact states(6), per-foot
+height above terrain(2), terrain normals around feet(6)]
+(tron1_pf_ee.py:130-142). Critic obs adds DR info (22), gait indicators,
+contact states, measured heights (7x7) and per-foot terrain patches.
+Periodic gait: fixed left/right phase offsets (theta_right-theta_left=0.5)
+with a random common offset per episode (tron1_pf_ee.py:222-225); sit-pose
+initialization with probability 0.7 (config sit_init_percent).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.core.config import (
+    AlgorithmCfg, AssetCfg, CommandsCfg, CommandRangesCfg, ControlCfg,
+    DomainRandCfg, EnvCfg, InitStateCfg, LeggedRobotCfg, NormalizationCfg,
+    PeriodicRewardCfg, PolicyCfg, RewardScalesCfg, RewardsCfg, RunnerCfg,
+    TerrainCfg, TrainCfg,
+)
+from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState
+from hcr_genesis_lr_cl_tpu.envs.tasks.tron1 import StackedBipedEnv
+from hcr_genesis_lr_cl_tpu.physics import sensors
+
+
+class TRON1PF_EE(StackedBipedEnv):
+    """EE + biped periodic gait on curriculum rough terrain."""
+
+    def __init__(self, cfg, robot, terrain_seed: int = 0):
+        super().__init__(cfg, robot, terrain_seed)
+        self.kp_offset = 0.5 * (cfg.domain_rand.kp_range[0] + cfg.domain_rand.kp_range[1])
+        self.kd_offset = 0.5 * (cfg.domain_rand.kd_range[0] + cfg.domain_rand.kd_range[1])
+
+    # ---- gait clock carry (fixed biped gait; random phase per episode) ----
+
+    def init_extra(self, n: int) -> dict:
+        e = super().init_extra(n)
+        p = self.cfg.rewards.periodic
+        theta = jnp.tile(jnp.asarray([p.theta_left, p.theta_right]), (n, 1))
+        e.update(
+            gait_time=jnp.zeros(n),
+            phi=jnp.zeros(n),
+            theta=theta,
+            exp_C_frc=jnp.zeros((n, 2)),
+            exp_C_spd=jnp.zeros((n, 2)),
+        )
+        return e
+
+    def post_physics_extra(self, state: EnvState) -> EnvState:
+        e = state.extra
+        p = self.cfg.rewards.periodic
+        gait_time = e["gait_time"] + self.dt
+        over = gait_time >= (p.gait_period - self.dt / 2)
+        gait_time = jnp.where(over, 0.0, gait_time)
+        phi = gait_time / p.gait_period
+        state = state.replace(extra={**e, "gait_time": gait_time, "phi": phi})
+        exp_C_spd, exp_C_frc = self._gait_indicators(state)
+        return state.replace(
+            extra={**state.extra, "exp_C_spd": exp_C_spd, "exp_C_frc": exp_C_frc}
+        )
+
+    def reset_extra(self, state: EnvState, mask) -> dict:
+        e = {**super().reset_extra(state, mask)}
+        p = self.cfg.rewards.periodic
+        n = self.num_envs
+        k = jax.random.fold_in(state.rng, 57)
+        k1, k2 = jax.random.split(k)
+        # random common phase offset + random clock start (reference :222-228)
+        off = jax.random.uniform(k1, (n,))
+        theta = jnp.stack(
+            [p.theta_left + off, p.theta_left + off + (p.theta_right - p.theta_left)],
+            axis=-1,
+        )
+        gait_time = jax.random.uniform(k2, (n,)) * p.gait_period
+        w = lambda new, old: jnp.where(mask.reshape((-1,) + (1,) * (old.ndim - 1)), new, old)
+        e["theta"] = w(theta, state.extra["theta"])
+        e["gait_time"] = w(gait_time, state.extra["gait_time"])
+        e["phi"] = w(gait_time / p.gait_period, state.extra["phi"])
+        return e
+
+    def _clock(self, state: EnvState):
+        ph = state.extra["phi"][:, None] + state.extra["theta"]  # (N, 2)
+        return jnp.concatenate(
+            [jnp.sin(2 * jnp.pi * ph), jnp.cos(2 * jnp.pi * ph)], axis=-1
+        )
+
+    def _gait_indicators(self, state: EnvState):
+        """Per-foot exp_C_spd/exp_C_frc (reference _uniped_periodic_gait
+        :347-424; step + smooth variants, smooth via erf-approximated
+        von-Mises CDF as in go2_wtw)."""
+        p = self.cfg.rewards.periodic
+        e = state.extra
+        phi = jnp.mod(e["phi"][:, None] + e["theta"], 1.0) * 2 * jnp.pi  # (N,2)
+        a_swing, b_swing, b_stance = 0.0, p.b_swing * 2 * jnp.pi, 2 * jnp.pi
+        if p.gait_function_type == "step":
+            in_swing = (phi >= a_swing) & (phi < b_swing)
+            exp_C_frc = jnp.where(in_swing, -1.0, 0.0)
+            exp_C_spd = jnp.where(in_swing, 0.0, -1.0)
+        else:
+            sigma = 1.0 / jnp.sqrt(p.kappa)
+            ncdf = lambda x: 0.5 * (1.0 + jax.lax.erf(x / (sigma * jnp.sqrt(2.0))))
+            F_A = ncdf(phi - a_swing)
+            F_B = ncdf(phi - b_swing)
+            F_C = ncdf(phi - b_stance)
+            exp_C_frc = -(F_A * (1.0 - F_B))
+            exp_C_spd = -(F_B * (1.0 - F_C))
+        return exp_C_spd, exp_C_frc
+
+    # ---- observations ----
+
+    def single_obs(self, state: EnvState, key):
+        """31-dim frame: base biped obs (27) + gait clock (4, noise-free)
+        (reference tron1_pf_ee.py:53-62)."""
+        c = self.cfg
+        s = c.normalization.obs_scales
+        out = state.sim_out
+        cmd_scale = jnp.array([s.lin_vel, s.lin_vel, s.ang_vel])
+        clean = jnp.concatenate(
+            [
+                state.commands[:, :3] * cmd_scale,
+                out.projected_gravity,
+                out.base_ang_vel * s.ang_vel,
+                (self.dof_pos_user(state) - self.default_dof_pos) * s.dof_pos,
+                self.dof_vel_user(state) * s.dof_vel,
+                state.actions,
+                self._clock(state),
+            ],
+            axis=-1,
+        )
+        noisy = clean
+        if c.noise.add_noise:
+            noisy = clean + (
+                jax.random.uniform(key, clean.shape, minval=-1.0, maxval=1.0)
+                * jnp.asarray(self.noise_vec)
+            )
+        return noisy, clean
+
+    def dr_info(self, state: EnvState):
+        """(N, 22): DR values incl. armature/joint friction/damping scalars
+        (reference tron1_pf_ee.py:66-78)."""
+        uidx = jnp.asarray(self.model.user_dof_idx)
+        return jnp.concatenate(
+            [
+                (state.dr.friction - self.friction_offset)[:, None],
+                state.dr.added_mass[:, None],
+                state.dr.com_bias,
+                state.dr.push_vel[:, :2],
+                state.dr.kp_scale[:, uidx] - self.kp_offset,
+                state.dr.kd_scale[:, uidx] - self.kd_offset,
+                state.dr.armature[:, :1],
+                state.dr.joint_friction[:, :1],
+                state.dr.joint_damping[:, :1],
+            ],
+            axis=-1,
+        )
+
+    def link_contact_states(self, state: EnvState):
+        f = state.sim_out.link_contact_forces[:, jnp.asarray(self.contact_state_slots)]
+        return (jnp.linalg.norm(f, axis=-1) > 1.0).astype(jnp.float32)
+
+    def privileged_single(self, state: EnvState, clean):
+        """Critic frame (tron1_pf_ee.py:85-113): obs + DR + gait + contacts
+        + measured heights + per-foot terrain patches/normals."""
+        s = self.cfg.normalization.obs_scales
+        hgrid, normals = sensors.feet_terrain_info(self.terrain, state.sim_out.feet_pos)
+        rel = jnp.clip(state.sim_out.feet_pos[:, :, 2:3] - hgrid, -1.0, 1.0)
+        n = clean.shape[0]
+        return jnp.concatenate(
+            [
+                clean,
+                state.sim_out.base_lin_vel * s.lin_vel,
+                self.dr_info(state),
+                state.extra["exp_C_frc"],
+                self.link_contact_states(state),
+                self.height_obs(state),
+                rel.reshape(n, -1),
+                normals.reshape(n, -1),
+            ],
+            axis=-1,
+        )
+
+    def estimator_labels(self, state: EnvState):
+        """(N, 17) (reference tron1_pf_ee.py:130-142)."""
+        s = self.cfg.normalization.obs_scales
+        r = self.cfg.rewards
+        hgrid, normals = sensors.feet_terrain_info(self.terrain, state.sim_out.feet_pos)
+        foot_h = (
+            state.sim_out.feet_pos[:, :, 2]
+            - jnp.max(hgrid, axis=-1)
+            - r.foot_height_offset
+        )
+        n = foot_h.shape[0]
+        return jnp.concatenate(
+            [
+                state.sim_out.base_lin_vel * s.lin_vel,
+                self.link_contact_states(state),
+                jnp.clip(foot_h, -1.0, 1.0),
+                normals.reshape(n, -1),
+            ],
+            axis=-1,
+        )
+
+    def observe(self, state: EnvState, key):
+        state, obs, priv, _ = super().observe(state, key)
+        extras = {
+            "obs_history": obs,  # stacked history IS the estimator features
+            "critic_obs": priv,
+            "estimator_labels": self.estimator_labels(state),
+        }
+        return state, obs, priv, extras
+
+    # ---- rewards ----
+
+    def _reward_biped_periodic_gait(self, ctx):
+        st = ctx.state
+        q_frc = jnp.linalg.norm(ctx.feet_forces, axis=-1)  # (N, 2)
+        q_spd = jnp.linalg.norm(ctx.out.feet_vel, axis=-1)
+        total = jnp.sum(
+            st.extra["exp_C_spd"] * q_spd + st.extra["exp_C_frc"] * q_frc, axis=-1
+        )
+        return jnp.exp(total)
+
+    def _reward_tracking_base_height(self, ctx):
+        base_h = jnp.mean(
+            ctx.state.physics.base_pos[:, 2:3] - ctx.state.measured_hts, axis=-1
+        )
+        rew = jnp.square(base_h - self.cfg.rewards.base_height_target)
+        return jnp.exp(-rew / self.cfg.rewards.base_height_tracking_sigma)
+
+    def _reward_foot_clearance(self, ctx):
+        """Swing-foot clearance vs the max height around each foot
+        (reference tron1_pf_ee.py:442-456)."""
+        r = self.cfg.rewards
+        hgrid, _ = sensors.feet_terrain_info(self.terrain, ctx.out.feet_pos)
+        foot_vel_xy = jnp.linalg.norm(ctx.out.feet_vel[:, :, :2], axis=-1)
+        err = jnp.sum(
+            foot_vel_xy
+            * jnp.square(
+                ctx.out.feet_pos[:, :, 2]
+                - jnp.max(hgrid, axis=-1)
+                - r.foot_clearance_target
+                - r.foot_height_offset
+            ),
+            axis=-1,
+        )
+        return jnp.exp(-err / r.foot_clearance_tracking_sigma)
+
+
+NUM_SINGLE_OBS = 31  # 27 + 4 clock
+NUM_HEIGHTS = 49     # 7x7 measured points
+# obs(31) + lin_vel(3) + dr(22) + gait(2) + contacts(6) + heights(49)
+# + feet patches(18) + normals(6)
+NUM_SINGLE_CRITIC = NUM_SINGLE_OBS + 3 + 22 + 2 + 6 + NUM_HEIGHTS + 18 + 6
+FRAME_STACK = 10
+NUM_LABELS = 17
+
+PF_DOF_NAMES = ("abad_L_Joint", "hip_L_Joint", "knee_L_Joint",
+                "abad_R_Joint", "hip_R_Joint", "knee_R_Joint")
+
+
+def tron1_pf_ee_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
+    return LeggedRobotCfg(
+        env=EnvCfg(
+            num_envs=num_envs,
+            num_observations=NUM_SINGLE_OBS * FRAME_STACK,
+            num_privileged_obs=NUM_SINGLE_CRITIC * FRAME_STACK,
+            num_actions=6,
+            frame_stack=FRAME_STACK, c_frame_stack=FRAME_STACK,
+            num_single_obs=NUM_SINGLE_OBS,
+            num_single_critic_obs=NUM_SINGLE_CRITIC,
+        ),
+        terrain=TerrainCfg(
+            mesh_type="heightfield",
+            border_size=15.0,
+            curriculum=True,
+            obtain_terrain_info_around_feet=True,
+            measure_heights=True,
+            measured_points_x=(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3),
+            measured_points_y=(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3),
+            terrain_length=8.0, terrain_width=8.0, platform_size=4.0,
+            num_rows=10, num_cols=10,
+            terrain_proportions=(0.2, 0.2, 0.2, 0.2, 0.2),
+        ),
+        init_state=InitStateCfg(
+            pos=(0.0, 0.0, 0.83),
+            default_joint_angles=tuple((n, 0.0) for n in PF_DOF_NAMES),
+            # sit-mode pose (tron1_pf_ee_config.py:50-64)
+            alt_init_percent=0.7,
+            alt_pos=(0.0, 0.0, 0.55),
+            alt_joint_angles=(
+                ("abad_L_Joint", 0.0), ("hip_L_Joint", 0.6), ("knee_L_Joint", 1.36),
+                ("abad_R_Joint", 0.0), ("hip_R_Joint", -0.6), ("knee_R_Joint", -1.36),
+            ),
+            alt_pitch=-0.2,
+        ),
+        control=ControlCfg(
+            stiffness=(("Joint", 42.0),), damping=(("Joint", 2.5),),
+            action_scale=0.25, decimation=4,
+        ),
+        asset=AssetCfg(
+            name="tron1_pf",
+            file="resources/robots/tron1_pf.json",
+            foot_name="foot",
+            obtain_link_contact_states=True,
+            contact_state_link_names=("hip", "knee", "foot"),
+            penalize_contacts_on=("knee", "hip"),
+            terminate_after_contacts_on=("base", "abad"),
+            base_link_name="base_Link",
+            dof_names=PF_DOF_NAMES,
+            links_to_keep=("foot_L_Link", "foot_R_Link"),
+        ),
+        rewards=RewardsCfg(
+            scales=RewardScalesCfg(
+                keep_balance=1.0, dof_pos_limits=-2.0, collision=-1.0,
+                feet_distance=-100.0,
+                tracking_lin_vel=1.0, tracking_ang_vel=0.5,
+                tracking_base_height=0.3,
+                lin_vel_z=-0.5, ang_vel_xy=-0.05, orientation=-4.0,
+                dof_power=-2.0e-4, dof_acc=-2.0e-7, foot_acc=-1.0e-5,
+                action_rate=-0.01, action_smoothness=-0.01,
+                biped_periodic_gait=1.0, foot_clearance=0.5,
+            ),
+            periodic=PeriodicRewardCfg(
+                gait_function_type="step", kappa=20.0, b_swing=0.5,
+                theta_left=0.0, theta_right=0.5, gait_period=0.5,
+            ),
+            soft_dof_pos_limit=0.95,
+            base_height_target=0.75,
+            base_height_tracking_sigma=0.01,
+            foot_clearance_target=0.06,
+            foot_height_offset=0.032,
+            foot_clearance_tracking_sigma=0.01,
+            foot_distance_threshold=0.115,
+            max_projected_gravity=-0.2,
+            only_positive_rewards=False,
+        ),
+        commands=CommandsCfg(
+            curriculum=True, max_curriculum=0.8, heading_command=True,
+            resampling_time=10.0,
+            ranges=CommandRangesCfg(
+                lin_vel_x=(-0.5, 0.5), lin_vel_y=(-0.6, 0.6),
+                ang_vel_yaw=(-1.0, 1.0),
+            ),
+        ),
+        domain_rand=DomainRandCfg(
+            randomize_friction=True, friction_range=(0.0, 1.7),
+            randomize_base_mass=True, added_mass_range=(-1.0, 2.0),
+            push_robots=True, push_interval_s=10.0, max_push_vel_xy=1.0,
+            randomize_com_displacement=True,
+            com_pos_x_range=(-0.03, 0.03), com_pos_y_range=(-0.03, 0.03),
+            com_pos_z_range=(-0.03, 0.03),
+            randomize_pd_gain=True, kp_range=(0.8, 1.2), kd_range=(0.8, 1.2),
+            randomize_joint_armature=True, joint_armature_range=(0.11, 0.13),
+            randomize_joint_friction=True, joint_friction_range=(0.0, 0.01),
+            randomize_joint_damping=True, joint_damping_range=(1.4, 1.45),
+        ),
+        normalization=NormalizationCfg(clip_actions=20.0),
+    )
+
+
+def tron1_pf_ee_train_cfg() -> TrainCfg:
+    return TrainCfg(
+        policy=PolicyCfg(
+            init_noise_std=0.5,
+            critic_hidden_dims=(1024, 256, 128),
+            estimator_hidden_dims=(256, 128),
+            num_estimated_states=NUM_LABELS,
+        ),
+        algorithm=AlgorithmCfg(encoder_learning_rate=2.0e-4),
+        runner=RunnerCfg(
+            runner_class_name="EERunner", experiment_name="tron1_pf_rough",
+            run_name="ee", save_interval=500, max_iterations=7000,
+        ),
+    )

@@ -61,6 +61,38 @@ class TestNewFamilies:
         n_sit = int(np.sum(np.abs(knee - 1.35) < 0.05))
         assert 10 < n_sit < 54
 
+    def test_tron1_pf_ee_labels_and_sit_init(self):
+        env = registry.make_env("tron1_pf_ee", num_envs=64)
+        state = env.init(jax.random.PRNGKey(0))
+        # ~70% of envs start in the sit pose (knee_L at +1.36)
+        knee = np.asarray(env.dof_pos_user(state))[:, 2]
+        n_sit = int(np.sum(np.abs(knee - 1.36) < 0.05))
+        assert 30 < n_sit < 62
+        step = jax.jit(env.step)
+        state, out = step(state, jnp.zeros((64, 6)))
+        assert out.extras["estimator_labels"].shape == (64, 17)
+        assert bool(jnp.all(jnp.isfinite(out.extras["estimator_labels"])))
+        # gait clock advances and the indicators are in [-1, 0]
+        p1 = np.asarray(state.extra["phi"]).copy()
+        state, _ = step(state, jnp.zeros((64, 6)))
+        assert np.all(np.asarray(state.extra["phi"]) != p1)
+        for k in ("exp_C_frc", "exp_C_spd"):
+            v = np.asarray(state.extra[k])
+            assert v.shape == (64, 2) and (v >= -1.0).all() and (v <= 0.0).all()
+
+    def test_tron1_pf_ee_trains(self):
+        env = registry.make_env("tron1_pf_ee", num_envs=8)
+        _, tcfg = registry.get_cfgs("tron1_pf_ee")
+        tcfg = tcfg.replace(
+            runner=tcfg.runner.replace(num_steps_per_env=4),
+            algorithm=tcfg.algorithm.replace(num_learning_epochs=1, num_mini_batches=2),
+        )
+        runner = make_runner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        st, info = jax.jit(runner.train_iteration)(st)
+        assert np.isfinite(float(info["loss"]))
+        assert np.isfinite(float(info["estimator_loss"]))
+
     def test_wtw_gait_clock_advances(self):
         env = registry.make_env("go2_wtw", num_envs=4)
         state = env.init(jax.random.PRNGKey(0))
