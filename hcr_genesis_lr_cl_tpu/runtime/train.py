@@ -33,6 +33,12 @@ def get_args(argv=None):
     ap.add_argument("--devices", type=int, default=None, help="shard envs over this many devices")
     ap.add_argument("--logdir_root", default="logs")
     ap.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="write TensorBoard scalars to the log dir")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of iterations 2-4 to DIR")
+    ap.add_argument("--debug_nans", action="store_true",
+                    help="enable jax_debug_nans (reference --debug analogue)")
     return ap.parse_args(argv)
 
 
@@ -51,10 +57,12 @@ def find_checkpoint(exp_dir: str, load_run: str, checkpoint: int) -> str:
 
 def train(args):
     from hcr_genesis_lr_cl_tpu.envs import registry
-    from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+    from hcr_genesis_lr_cl_tpu.rl.runner import make_runner
 
     if args.multihost:
         jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cfg, tcfg = registry.get_cfgs(args.task, num_envs=args.num_envs)
     if args.seed is not None:
@@ -78,8 +86,15 @@ def train(args):
             f, indent=1, default=str,
         )
 
+    writer = None
+    if args.tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(log_dir=log_dir)
+
     env = registry.make_env(args.task, cfg=cfg)
-    runner = OnPolicyRunner(env, tcfg, log_dir=log_dir)
+    # runner registry dispatch (reference task_registry.make_alg_runner:74-134)
+    runner = make_runner(env, tcfg, log_dir=log_dir, writer=writer)
     key = jax.random.PRNGKey(tcfg.seed)
     st = None
     if args.resume:
@@ -87,7 +102,19 @@ def train(args):
         ckpt = find_checkpoint(exp_dir, args.load_run, args.checkpoint)
         print(f"resuming from {ckpt}")
         st = runner.load(st, ckpt)
+    if args.profile:
+        # trace a couple of steady-state iterations (reference keeps only a
+        # wall-clock fps scalar, on_policy_runner.py:191; we add real traces)
+        st2 = st if st is not None else runner.init_state(key)
+        st2, _ = runner.train_iteration(st2)  # compile outside the trace
+        with jax.profiler.trace(args.profile):
+            for _ in range(3):
+                st2, _ = runner.train_iteration(st2)
+        print(f"profiler trace written to {args.profile}")
+        return
     runner.learn(tcfg.runner.max_iterations, key=key, st=st)
+    if writer is not None:
+        writer.close()
 
 
 if __name__ == "__main__":
