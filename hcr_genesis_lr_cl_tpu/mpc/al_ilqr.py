@@ -1,0 +1,120 @@
+"""Constrained iLQR via the augmented-Lagrangian method (ALTRO-style).
+
+BASELINE config 4 asks for the CaT terms (reference go2_cat.py:135-215 /
+constraint_manager.py) as HARD constraints on the MPC solve, not steep
+penalties. The TPU-native formulation keeps everything statically shaped:
+
+- inequality constraints c_i(x, u, t) <= 0 enter the stage cost as the AL
+  penalty  lam_i c_i + mu/2 c_i^2  on the active set {c_i > 0 or lam_i > 0}
+  (a smooth, autodiff-able scalar — the inner solver is the unmodified
+  `ilqr.ilqr_solve`);
+- a FIXED number of outer multiplier updates (lax.scan):
+  lam <- clip(lam + mu c, 0, lam_max), mu <- mu * mu_scale — no
+  data-dependent convergence test, so the whole constrained solve is one
+  flat XLA program, vmappable over scenarios.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc.ilqr import ilqr_solve, rollout, total_cost
+
+
+class AlIlqrResult(NamedTuple):
+    xs: jnp.ndarray          # (T+1, nx)
+    us: jnp.ndarray          # (T, nu)
+    cost: jnp.ndarray        # () true (unaugmented) cost
+    max_violation: jnp.ndarray  # () max_i,t max(c, 0) on the final trajectory
+    viol_trace: jnp.ndarray  # (n_outer,) max violation after each outer step
+    cost_trace: jnp.ndarray  # (n_outer,) true cost after each outer step
+
+
+def al_ilqr_solve(
+    dyn: Callable,        # f(x, u) -> x'
+    cost: Callable,       # l(x, u, u_prev, t) -> ()
+    term_cost: Callable,  # lf(x) -> ()
+    cons: Callable,       # c(x, u, t) -> (nc,), feasible iff c <= 0
+    x0: jnp.ndarray,
+    u_init: jnp.ndarray,  # (T, nu)
+    n_outer: int = 3,
+    n_inner: int = 4,
+    mu0: float = 10.0,
+    mu_scale: float = 10.0,
+    lam_max: float = 1e4,
+    reg: float = 0.5,
+    alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.0),
+    lin_chunk: int = 10,
+) -> AlIlqrResult:
+    T, nu = u_init.shape
+    ts = jnp.arange(T)
+    nc = cons(x0, u_init[0], jnp.asarray(0)).shape[0]
+
+    def aug_cost(lam, mu):
+        def l(x, u, up, t):
+            cv = cons(x, u, t)
+            lam_t = lam[t]
+            active = (cv > 0.0) | (lam_t > 0.0)
+            pen = jnp.where(active, lam_t * cv + 0.5 * mu * jnp.square(cv), 0.0)
+            return cost(x, u, up, t) + pen.sum()
+
+        return l
+
+    def outer(carry, _):
+        us, lam, mu = carry
+        res = ilqr_solve(
+            dyn, aug_cost(lam, mu), term_cost, x0, us, n_iters=n_inner,
+            reg=reg, alphas=alphas, lin_chunk=lin_chunk,
+        )
+        cv = jax.vmap(cons)(res.xs[:-1], res.us, ts)  # (T, nc)
+        lam = jnp.clip(lam + mu * cv, 0.0, lam_max)
+        viol = jnp.maximum(cv, 0.0).max()
+        true_cost = total_cost(cost, term_cost, res.xs, res.us)
+        return (res.us, lam, mu * mu_scale), (true_cost, viol)
+
+    (us, _, _), (costs, viols) = jax.lax.scan(
+        outer, (u_init, jnp.zeros((T, nc)), jnp.asarray(mu0)), None,
+        length=n_outer,
+    )
+    xs = rollout(dyn, x0, us)
+    cv = jax.vmap(cons)(xs[:-1], us, ts)
+    return AlIlqrResult(
+        xs, us,
+        cost=total_cost(cost, term_cost, xs, us),
+        max_violation=jnp.maximum(cv, 0.0).max(),
+        viol_trace=viols,
+        cost_trace=costs,
+    )
+
+
+def cat_constraints(mm: mdyn.MpcModel, max_projected_gravity: float = -0.2,
+                    torque_frac: float = 0.9, soft_dof_limit: float = 0.95):
+    """CaT terms as constraint rows c(x, u, t) <= 0 (reference
+    go2_cat.py:135-215: dof_pos / base_orientation hard, torque soft):
+    [q - q_hi, q_lo - q, |tau| - frac*effort_limit, g_z_proj - max_g]."""
+    m = mm.model
+    mid = 0.5 * (m.q_hi + m.q_lo)
+    half = 0.5 * (m.q_hi - m.q_lo) * soft_dof_limit
+    q_hi, q_lo = mid + half, mid - half
+
+    def cons(x, u, t):
+        from hcr_genesis_lr_cl_tpu.utils import math as hm
+
+        quat, pos, v, q, qd = mdyn.unpack(m, x)
+        tau = mdyn.torques(mm, x, u)
+        R = hm.quat_to_rotmat(hm.normalize(quat))
+        proj_g_z = (R.T @ jnp.array([0.0, 0.0, -1.0]))[2]
+        return jnp.concatenate(
+            [
+                q - q_hi,
+                q_lo - q,
+                jnp.abs(tau) - torque_frac * m.effort_limit,
+                (proj_g_z - max_projected_gravity)[None],
+            ]
+        )
+
+    return cons

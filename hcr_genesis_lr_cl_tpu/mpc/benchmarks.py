@@ -139,6 +139,38 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
     return r
 
 
+def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
+                      use_gait=False, substeps=4, scenario_chunk=1024,
+                      block_b=512):
+    """BASELINE configs 1/2 via the FD-kernel solver (ilqr_fd): linearization
+    is S*T*(nx+nu+1) forward passes through the fused Pallas control-step
+    kernel in one dispatch instead of jacfwd through the XLA dynamics."""
+    from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+    env, mm = make_go2_mpc(substeps=substeps)
+    w = mcosts.CostWeights(gait=1.0 if use_gait else 0.0)
+    chunk = min(scenario_chunk, num_scenarios)
+    n_chunks = num_scenarios // chunk
+    solve = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=n_iters,
+                                   block_b=block_b)
+
+    def solver(x0, params, u0):
+        resh = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
+        xs, us = resh(x0), resh(u0)
+        ps = jax.tree.map(resh, params)
+        outs = [
+            solve(xs[i], jax.tree.map(lambda a: a[i], ps), us[i])
+            for i in range(n_chunks)
+        ]
+        return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *outs)
+
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)
+    u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
+    res, r = _time_solver(solver, x0, params, u0, n_solves)
+    r.update(num_scenarios=num_scenarios, horizon=horizon, n_iters=n_iters)
+    return r
+
+
 def _time_solver(solver, x0, params, u0, n_solves):
     res = solver(x0, params, u0)
     jax.block_until_ready(res.cost)
@@ -190,6 +222,37 @@ def bench_tron1_pf_cat(num_scenarios=1024, horizon=50, n_solves=3, n_iters=3):
     u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
     _, r = _time_solver(solver, x0, params, u0, n_solves)
     r.update(num_scenarios=num_scenarios, horizon=horizon)
+    return r
+
+
+def bench_tron1_pf_cat_hard(num_scenarios=256, horizon=50, n_solves=3,
+                            n_outer=3, n_inner=3):
+    """BASELINE config 4, hard-constraint form: CaT terms as inequality
+    constraints via augmented-Lagrangian iLQR (al_ilqr.al_ilqr_solve) rather
+    than steep penalties."""
+    from hcr_genesis_lr_cl_tpu.mpc import al_ilqr
+
+    env, mm = make_task_mpc("tron1_pf")
+    w = mcosts.CostWeights(dof_pos_limit=0.0, torque_limit=0.0, orientation=10.0)
+    cons = al_ilqr.cat_constraints(mm)
+
+    def solve_one(x0, p, u_init):
+        dyn = lambda x, u: mdyn.step(mm, x, u)
+        cost = lambda x, u, up, t: mcosts.stage_cost(mm, w, p, x, u, up, t)
+        term = lambda x: mcosts.terminal_cost(mm, w, p, x)
+        return al_ilqr.al_ilqr_solve(dyn, cost, term, cons, x0, u_init,
+                                     n_outer=n_outer, n_inner=n_inner,
+                                     alphas=(1.0, 0.1, 0.01, 0.0))
+
+    solver = jax.jit(jax.vmap(solve_one))
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)
+    params = params._replace(base_height_target=jnp.full((num_scenarios,), 0.68))
+    x0 = x0.at[:, 6].set(0.78)
+    u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
+    res, r = _time_solver(solver, x0, params, u0, n_solves)
+    r.update(num_scenarios=num_scenarios, horizon=horizon,
+             max_violation=float(res.max_violation.max()),
+             mean_violation=float(res.max_violation.mean()))
     return r
 
 

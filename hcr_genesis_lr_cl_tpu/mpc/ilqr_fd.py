@@ -35,12 +35,14 @@ class FdIlqrResult(NamedTuple):
 def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    n_iters: int = 3, reg: float = 0.5,
                    alphas=(1.0, 0.1, 0.01, 0.0), block_b: int = 512,
-                   interpret: bool = False):
+                   interpret: bool = False, eps: float = 1e-3,
+                   dyn_override=None):
     T = horizon
     nx = mdyn.nx(mm.model)
     nu = mm.model.nj
     uidx = jnp.asarray(mm.model.user_dof_idx)
-    dyn_batch = fdy.make_kernel_dyn(mm, block_b=block_b, interpret=interpret)
+    dyn_batch = (dyn_override if dyn_override is not None
+                 else fdy.make_kernel_dyn(mm, block_b=block_b, interpret=interpret))
     alphas_arr = jnp.asarray(alphas)
     A = len(alphas)
 
@@ -166,7 +168,8 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
             S = x0.shape[0]
             flat_x = xs[:, :-1].reshape(S * T, nx)
             flat_u = to_topo(us.reshape(S * T, nu))
-            _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u)
+            _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u,
+                                         eps_x=eps, eps_u=eps)
             # fu columns are w.r.t. topo-order controls; permute to user order
             fx = fx.reshape(S, T, nx, nx)
             fu = fu.reshape(S, T, nx, nu)[..., uidx]

@@ -98,6 +98,40 @@ class TestBaselineConfigs:
         self._check(mb.bench_tron1_pf_cat(num_scenarios=2, horizon=5, n_solves=1,
                                           n_iters=1))
 
+    def test_tron1_pf_cat_hard_constraints(self):
+        """AL-iLQR drives CaT constraint violations down across outer steps."""
+        from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+
+        r = mb.bench_tron1_pf_cat_hard(num_scenarios=2, horizon=6, n_solves=1,
+                                       n_outer=2, n_inner=2)
+        assert np.isfinite(r["final_cost_mean"])
+        assert np.isfinite(r["max_violation"])
+        assert r["max_violation"] < 5.0  # bounded, not exploding
+
+    def test_al_ilqr_enforces_constraint(self):
+        """A constraint that the unconstrained optimum violates is driven to
+        (near) feasibility by the multiplier updates."""
+        import jax
+        import jax.numpy as jnp
+
+        from hcr_genesis_lr_cl_tpu.mpc import al_ilqr
+
+        # double integrator: drive x->1 fast, but |u| <= 0.4
+        dyn = lambda x, u: jnp.array([x[0] + 0.1 * x[1], x[1] + 0.1 * u[0]])
+        cost = lambda x, u, up, t: 10.0 * jnp.square(x[0] - 1.0).sum() + 1e-4 * jnp.square(u).sum()
+        term = lambda x: 100.0 * jnp.square(x[0] - 1.0).sum()
+        cons = lambda x, u, t: jnp.array([u[0] - 0.4, -u[0] - 0.4])
+        res = jax.jit(
+            lambda: al_ilqr.al_ilqr_solve(
+                dyn, cost, term, cons, jnp.zeros(2), jnp.zeros((20, 1)),
+                n_outer=5, n_inner=6, lin_chunk=20,
+            )
+        )()
+        assert float(res.max_violation) < 0.02
+        # the constrained optimum saturates the bound
+        assert float(jnp.abs(res.us).max()) > 0.3
+        assert np.isfinite(float(res.cost))
+
     def test_tron1_sf_sharded(self):
         from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
 
