@@ -204,6 +204,9 @@ class RewardScalesCfg(_Cfg):
     base_acc: float = 0.0
     stall: float = 0.0
     nav_stand_still: float = 0.0
+    move_in_direction: float = 0.0
+    four_contacts: float = 0.0
+    thigh_pos: float = 0.0  # go2_ts.py:170-177 (defined, zero-scaled there)
     # wtw extra shaping
     tracking_base_height: float = 0.0
     tracking_orientation: float = 0.0

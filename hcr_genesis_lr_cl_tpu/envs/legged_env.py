@@ -151,6 +151,7 @@ class LeggedEnv:
             dtype=np.int32,
         )
         self.hip_dofs = np.asarray(m.dofs_named("hip"), dtype=np.int32)
+        self.thigh_dofs = np.asarray(m.dofs_named("thigh"), dtype=np.int32)
         self.ankle_dofs = np.asarray(m.dofs_named("ankle"), dtype=np.int32)
 
         # height probe grid
@@ -950,6 +951,18 @@ class LeggedEnv:
     def _reward_no_fly(self, ctx):
         contacts = ctx.feet_forces[:, :, 2] > 1.0
         return (jnp.sum(contacts.astype(jnp.float32), axis=-1) == 1).astype(jnp.float32)
+
+    def _reward_thigh_pos(self, ctx):
+        """Thigh joints close to default (reference go2_ts.py:170-177)."""
+        if not len(self.thigh_dofs):
+            return jnp.zeros(self.num_envs)
+        return jnp.sum(
+            jnp.square(
+                ctx.dof_pos[:, jnp.asarray(self.thigh_dofs)]
+                - jnp.asarray(self.default_dof_pos[self.thigh_dofs])
+            ),
+            axis=-1,
+        )
 
     def _reward_hip_pos_zero_command(self, ctx):
         hips = jnp.asarray(self.hip_dofs)

@@ -47,6 +47,7 @@ def go2_nav_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
                 base_acc=-4.0e-4, lin_vel_z=-1.0, dof_power=-4.0e-4,
                 dof_acc=-1.0e-7, action_rate=-0.01, action_smoothness=-0.01,
                 feet_stumble=-1.0, stall=-1.0, nav_stand_still=-1.0,
+                move_in_direction=0.5,
             ),
             soft_dof_pos_limit=0.9, soft_dof_vel_limit=0.9, soft_torque_limit=0.9,
             base_height_target=0.35,
@@ -243,6 +244,33 @@ class Go2Nav(go2_rough.Go2Rough):
         )
         slow = jnp.linalg.norm(ctx.out.base_lin_vel[:, :2], axis=-1) < r.stall_velocity_threshold
         return (far & slow).astype(jnp.float32)
+
+    def _reward_move_in_direction(self, ctx):
+        """Cosine between the commanded (base-frame target) direction and the
+        velocity direction (legged_robot_nav.py:632-638)."""
+        cmd = ctx.state.commands[:, :2]
+        cdir = cmd / (jnp.linalg.norm(cmd, axis=-1, keepdims=True) + 1e-6)
+        v = ctx.out.base_lin_vel[:, :2]
+        vdir = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-6)
+        return jnp.sum(cdir * vdir, axis=-1)
+
+    def _reward_four_contacts(self, ctx):
+        """All feet down once the goal is reached near episode end
+        (legged_robot_nav.py:623-630)."""
+        r = self.cfg.rewards
+        st = ctx.state
+        t = st.episode_length.astype(jnp.float32) * self.dt
+        duration = t > (self.cfg.env.episode_length_s - 1.0)
+        close = (
+            jnp.linalg.norm(
+                st.extra["target_pos_world"][:, :2] - st.physics.base_pos[:, :2],
+                axis=-1,
+            )
+            < 0.25
+        )
+        contacts = ctx.feet_forces[:, :, 2] > 1.0
+        all_down = jnp.sum(contacts.astype(jnp.float32), axis=-1) == self.num_feet
+        return all_down.astype(jnp.float32) * duration * close
 
     def _reward_nav_stand_still(self, ctx):
         """Penalize joint motion once the goal is reached."""
