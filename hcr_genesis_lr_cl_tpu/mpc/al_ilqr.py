@@ -49,6 +49,7 @@ def al_ilqr_solve(
     reg: float = 0.5,
     alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.0),
     lin_chunk: int = 10,
+    u_bounds=None,
 ) -> AlIlqrResult:
     T, nu = u_init.shape
     ts = jnp.arange(T)
@@ -68,7 +69,7 @@ def al_ilqr_solve(
         us, lam, mu = carry
         res = ilqr_solve(
             dyn, aug_cost(lam, mu), term_cost, x0, us, n_iters=n_inner,
-            reg=reg, alphas=alphas, lin_chunk=lin_chunk,
+            reg=reg, alphas=alphas, lin_chunk=lin_chunk, u_bounds=u_bounds,
         )
         cv = jax.vmap(cons)(res.xs[:-1], res.us, ts)  # (T, nc)
         lam = jnp.clip(lam + mu * cv, 0.0, lam_max)

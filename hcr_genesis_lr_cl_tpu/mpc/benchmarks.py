@@ -67,7 +67,8 @@ def make_solver(env, mm, weights: mcosts.CostWeights, horizon: int,
         cost = lambda x, u, up, t: mcosts.stage_cost(mm, weights, p, x, u, up, t)
         term = lambda x: mcosts.terminal_cost(mm, weights, p, x)
         return ilqr.ilqr_solve(dyn, cost, term, x0, u_init, n_iters=n_iters,
-                               alphas=alphas, lin_chunk=lin_chunk)
+                               alphas=alphas, lin_chunk=lin_chunk,
+                               u_bounds=mdyn.u_bounds(mm))
 
     return jax.jit(jax.vmap(solve_one))
 
@@ -115,7 +116,8 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
         cost = lambda x, u, up, t: mcosts.stage_cost(mm, w, p, x, u, up, t)
         term = lambda x: mcosts.terminal_cost(mm, w, p, x)
         return ilqr.ilqr_solve(dyn, cost, term, x0, u_init, n_iters=n_iters,
-                               alphas=(1.0, 0.1, 0.01, 0.0))
+                               alphas=(1.0, 0.1, 0.01, 0.0),
+                               u_bounds=mdyn.u_bounds(mm))
 
     vsolve = jax.jit(jax.vmap(solve_one))
 
@@ -242,7 +244,8 @@ def bench_tron1_pf_cat_hard(num_scenarios=256, horizon=50, n_solves=3,
         term = lambda x: mcosts.terminal_cost(mm, w, p, x)
         return al_ilqr.al_ilqr_solve(dyn, cost, term, cons, x0, u_init,
                                      n_outer=n_outer, n_inner=n_inner,
-                                     alphas=(1.0, 0.1, 0.01, 0.0))
+                                     alphas=(1.0, 0.1, 0.01, 0.0),
+                                     u_bounds=mdyn.u_bounds(mm))
 
     solver = jax.jit(jax.vmap(solve_one))
     x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, num_scenarios)

@@ -100,6 +100,15 @@ def step(mm: MpcModel, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return pack(quat, pos, v, q, qd)
 
 
+def u_bounds(mm: MpcModel):
+    """(u_lo, u_hi) in user dof order such that the PD target stays inside
+    the joint limits — used to clamp line-search candidates."""
+    uidx = jnp.asarray(mm.model.user_dof_idx)
+    lo = ((mm.model.q_lo - mm.gains.default_dof_pos) / mm.gains.action_scale)[uidx]
+    hi = ((mm.model.q_hi - mm.gains.default_dof_pos) / mm.gains.action_scale)[uidx]
+    return lo, hi
+
+
 def torques(mm: MpcModel, x, u):
     """Applied PD torque at the start of the control step (for costs/parity)."""
     m = mm.model

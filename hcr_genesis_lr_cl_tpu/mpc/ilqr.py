@@ -67,6 +67,7 @@ def ilqr_solve(
     reg: float = 0.5,
     alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.0),
     lin_chunk: int = 10,
+    u_bounds=None,  # optional (u_lo, u_hi) clamp on line-search candidates
 ) -> IlqrResult:
     T, nu = u_init.shape
     nx = x0.shape[0]
@@ -126,7 +127,13 @@ def ilqr_solve(
     def forward(xs, us, ks, Ks, alpha):
         def fstep(x, inp):
             x_bar, u_bar, k, K = inp
-            u = u_bar + alpha * k + K @ (x - x_bar)
+            # alpha scales the feedback too: near stiff contact |K| is huge
+            # (|Vxx| ~ 1e7) and the classic unscaled-K rollout is
+            # discontinuous at alpha -> 0 — every candidate diverges and the
+            # search flat-lines on horizons T >= 15 (measured on go2).
+            u = u_bar + alpha * (k + K @ (x - x_bar))
+            if u_bounds is not None:
+                u = jnp.clip(u, u_bounds[0], u_bounds[1])
             xn = dyn(x, u)
             return xn, (xn, u)
 

@@ -49,6 +49,13 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
     def to_topo(u):
         return jnp.zeros(u.shape[:-1] + (nu,)).at[..., uidx].set(u)
 
+    # control bounds: PD targets stay inside the joint limits. Contact makes
+    # the feedback gains K large (|Vxx| ~ 1e7 near stiff contact), so an
+    # unbounded closed-loop line-search candidate diverges from f32-level
+    # deviations alone and every nonzero alpha gets rejected; clamping u
+    # keeps every candidate physically meaningful and the search productive.
+    u_lo, u_hi = mdyn.u_bounds(mm)
+
     def stage_cost(p, x, u, up, t):
         return mcosts.stage_cost(mm, weights, p, x, u, up, t)
 
@@ -139,7 +146,16 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
 
         def fstep(x, inp):
             x_bar, u_bar, k, K = inp
-            u = u_bar + al[:, None] * k + jnp.einsum("bux,bx->bu", K, x - x_bar)
+            # alpha scales the feedback too: near stiff contact |K| ~ 1e5+,
+            # and full-strength feedback on a small-alpha candidate slams the
+            # controls to the clip rails — the classic-DDP unscaled-K rollout
+            # makes the line search discontinuous at alpha -> 0 here. With
+            # alpha on both terms the candidate family is continuous in
+            # alpha, so some step size always survives.
+            u = u_bar + al[:, None] * (
+                k + jnp.einsum("bux,bx->bu", K, x - x_bar)
+            )
+            u = jnp.clip(u, u_lo, u_hi)
             xn = dyn_batch(x, to_topo(u))
             return xn, (xn, u)
 
