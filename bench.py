@@ -3,10 +3,12 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Headline metric (BASELINE.json): MPC solves/sec/chip — Go2, 4096 batched
-domain-randomized scenarios, horizon T=50, iLQR (2 iterations, parallel line
-search), scenario-chunked dispatch. `vs_baseline` is the real-time factor
-against the 20 ms (50 Hz) control budget (1.0 == one batched 4096-scenario
-solve per control tick).
+domain-randomized scenarios, horizon T=50, FD-kernel iLQR (2 iterations,
+parallel line search; finite-difference linearization through the fused
+Pallas control-step kernel — ~38x the autodiff path at equal-or-better
+final cost), scenario-chunked dispatch. `vs_baseline` is the real-time
+factor against the 20 ms (50 Hz) control budget (1.0 == one batched
+4096-scenario solve per control tick).
 
 Secondary lines (prefixed '#'): solve latency percentiles and PPO training
 throughput (env steps/s — the reference's own figure of merit,
@@ -46,9 +48,13 @@ def main():
     try:
         from hcr_genesis_lr_cl_tpu.mpc import benchmarks
 
-        r = benchmarks.bench_go2_flat(
+        r = benchmarks.bench_go2_flat_fd(
             num_scenarios=num_scenarios, horizon=horizon, n_solves=n_solves,
             n_iters=n_iters,
+            scenario_chunk=int(os.environ.get("BENCH_MPC_CHUNK", 1024)),
+            # block_b=2048 measured fastest on v5e; >=4096 trips the remote
+            # compiler
+            block_b=int(os.environ.get("BENCH_MPC_BLOCK", 2048)),
         )
         print(
             f"# mpc p50 {r['p50_ms']:.0f} ms, p99 {r['p99_ms']:.0f} ms per solve "

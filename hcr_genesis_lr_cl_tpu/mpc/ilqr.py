@@ -68,6 +68,8 @@ def ilqr_solve(
     alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.0),
     lin_chunk: int = 10,
     u_bounds=None,  # optional (u_lo, u_hi) clamp on line-search candidates
+    backward_mode: str = "sequential",  # | "associative" (O(log T) depth,
+    # pscan_riccati — the latency lever for small-batch 50 Hz solves)
 ) -> IlqrResult:
     T, nu = u_init.shape
     nx = x0.shape[0]
@@ -147,7 +149,14 @@ def ilqr_solve(
         xs, us, best_cost = carry
         u_prev = jnp.concatenate([us[:1], us[:-1]], axis=0)
         lin = linearize(xs, us, u_prev)
-        ks, Ks = backward(*lin)
+        if backward_mode == "associative":
+            from hcr_genesis_lr_cl_tpu.mpc.pscan_riccati import (
+                lqr_gains_associative,
+            )
+
+            ks, Ks = lqr_gains_associative(*lin, reg=reg)
+        else:
+            ks, Ks = backward(*lin)
         # parallel line search: evaluate the whole alpha grid at once
         xs_c, us_c, costs = jax.vmap(lambda a: forward(xs, us, ks, Ks, a))(alphas)
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)

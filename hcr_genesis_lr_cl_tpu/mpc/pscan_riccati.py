@@ -1,0 +1,120 @@
+"""Parallel-scan (associative) Riccati backward pass.
+
+The sequential LQR backward recursion has O(T) depth; on TPU the per-step
+matrices are tiny (nx=37) so at small scenario counts the chip idles between
+steps. The value-function recursion is associative under the conditional-
+value-function composition of Särkkä & García-Fernández ("Temporal
+Parallelization of Bayesian Smoothers / dynamic programming", 2020-21), so
+`jax.lax.associative_scan` evaluates all T cost-to-go functions in O(log T)
+depth. This is the "knot-parallel" decomposition BASELINE.json asks for
+(SURVEY §7 M6: associative-scan Riccati), and the latency lever for the
+S=1, 50 Hz deployment solve.
+
+Formulation: each knot carries an element e = (A, b, C, eta, J) encoding the
+conditional value function between x_k and the horizon end,
+
+    V(x) = 1/2 x' J x - eta' x  (+ const),
+
+with suffix composition (i earlier in time than j):
+
+    D     = (I + C_i J_j)^{-1}
+    A_ij  = A_j D A_i
+    b_ij  = A_j D (b_i + C_i eta'_j) + b_j          (eta' = -eta)
+    C_ij  = A_j D C_i A_j' + C_j
+    eta_ij, J_ij via the dual form (see _compose).
+
+Cross terms (lux) and linear control cost (lu) are pre-eliminated per knot by
+the substitution u = v - U^{-1}(lux x + lu), which leaves a standard LQR
+element. Gains are then read off pointwise from the composed cost-to-go —
+with the same Tassa state regularization as the sequential backward
+(ilqr.py backward), applied at gain extraction.
+
+Exact equivalence with the sequential recursion holds at reg=0 (tested); with
+reg>0 the sequential solver's value recursion deviates from pure Riccati, so
+the parallel version is offered as `backward="associative"` for
+well-conditioned problems and latency-critical small-batch solves.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.physics.algebra import solve_psd
+
+
+def _solve(A, B):
+    """A^{-1} B via LU (A need not be SPD after composition)."""
+    return jnp.linalg.solve(A, B)
+
+
+def _compose(ei, ej):
+    """Suffix composition: ei covers [k, m), ej covers [m, end]."""
+    Ai, bi, Ci, etai, Ji = ei
+    Aj, bj, Cj, etaj, Jj = ej
+    nx = Ai.shape[-1]
+    I = jnp.eye(nx)
+    D = _solve(I + Ci @ Jj, I)          # (I + C_i J_j)^{-1}
+    Dt = _solve(I + Jj @ Ci, I)         # (I + J_j C_i)^{-1}
+    A = Aj @ D @ Ai
+    b = Aj @ D @ (bi + Ci @ etaj) + bj
+    C = Aj @ D @ Ci @ Aj.T + Cj
+    eta = Ai.T @ Dt @ (etaj - Jj @ bi) + etai
+    J = Ai.T @ Dt @ Jj @ Ai + Ji
+    return A, b, C, eta, J
+
+
+def lqr_gains_associative(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT,
+                          reg: float = 0.0):
+    """All-knot feedback gains via one associative scan.
+
+    Shapes: fx (T,nx,nx), fu (T,nx,nu), lx (T,nx), lu (T,nu), lxx (T,nx,nx),
+    luu (T,nu,nu), lux (T,nu,nx), vxT (nx,), vxxT (nx,nx).
+    Returns ks (T,nu), Ks (T,nu,nx) — identical to the sequential backward
+    at reg=0.
+    """
+    T, nx, nu = fu.shape[0], fx.shape[-1], fu.shape[-1]
+
+    # per-knot cross-term elimination: u = v - U^{-1}(lux x + lu)
+    def init_elem(fx_t, fu_t, lx_t, lu_t, lxx_t, luu_t, lux_t):
+        Uinv_M = solve_psd_mat(luu_t, lux_t)       # (nu, nx)
+        Uinv_lu = solve_psd(luu_t, lu_t)           # (nu,)
+        A = fx_t - fu_t @ Uinv_M
+        b = -(fu_t @ Uinv_lu)
+        C = fu_t @ solve_psd_mat(luu_t, fu_t.T)
+        J = lxx_t - lux_t.T @ Uinv_M
+        eta = -(lx_t - lux_t.T @ Uinv_lu)
+        return A, b, C, eta, J
+
+    elems = jax.vmap(init_elem)(fx, fu, lx, lu, lxx, luu, lux)
+    term = (
+        jnp.zeros((1, nx, nx)), jnp.zeros((1, nx)), jnp.zeros((1, nx, nx)),
+        -vxT[None], vxxT[None],
+    )
+    elems = jax.tree.map(lambda a, t: jnp.concatenate([a, t], axis=0),
+                         elems, term)
+
+    # reverse=True flips, scans forward, flips back — the combine therefore
+    # receives (later, earlier) in original-time terms; swap into _compose's
+    # (earlier, later) convention
+    suffix = jax.lax.associative_scan(
+        jax.vmap(lambda a, b: _compose(b, a)), elems, reverse=True, axis=0
+    )
+    # cost-to-go AFTER each knot: V_{k+1} is suffix element k+1
+    vxx_next = suffix[4][1:]            # (T, nx, nx)
+    vx_next = -suffix[3][1:]            # (T, nx)
+
+    def gains(fx_t, fu_t, lu_t, luu_t, lux_t, vx_n, vxx_n):
+        vxx_r = vxx_n + reg * jnp.eye(nx)
+        quu_r = luu_t + fu_t.T @ vxx_r @ fu_t + reg * jnp.eye(nu)
+        qux_r = lux_t + fu_t.T @ vxx_r @ fx_t
+        qu = lu_t + fu_t.T @ vx_n
+        k = -solve_psd(quu_r, qu)
+        K = -solve_psd_mat(quu_r, qux_r)
+        return k, K
+
+    return jax.vmap(gains)(fx, fu, lu, luu, lux, vx_next, vxx_next)
+
+
+def solve_psd_mat(A, B):
+    return jax.vmap(lambda b: solve_psd(A, b), in_axes=-1, out_axes=-1)(B)

@@ -1,0 +1,92 @@
+"""Associative-scan Riccati == sequential backward on random LQR (reg=0)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import pscan_riccati as pr
+from hcr_genesis_lr_cl_tpu.physics.algebra import solve_psd
+
+
+def _sequential_gains(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT, reg=0.0):
+    """Mirror of ilqr.py backward (value recursion with K-substitution)."""
+    nx, nu = fx.shape[-1], fu.shape[-1]
+
+    def bstep(carry, inp):
+        vx, vxx = carry
+        fx_t, fu_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        qx = lx_t + fx_t.T @ vx
+        qu = lu_t + fu_t.T @ vx
+        qxx = lxx_t + fx_t.T @ vxx @ fx_t
+        vxx_r = vxx + reg * jnp.eye(nx)
+        quu_r = luu_t + fu_t.T @ vxx_r @ fu_t + reg * jnp.eye(nu)
+        qux_r = lux_t + fu_t.T @ vxx_r @ fx_t
+        quu = luu_t + fu_t.T @ vxx @ fu_t
+        qux = lux_t + fu_t.T @ vxx @ fx_t
+        k = -solve_psd(quu_r, qu)
+        K = -pr.solve_psd_mat(quu_r, qux_r)
+        vx_n = qx + K.T @ quu @ k + K.T @ qu + qux.T @ k
+        vxx_n = qxx + K.T @ quu @ K + K.T @ qux + qux.T @ K
+        return (vx_n, 0.5 * (vxx_n + vxx_n.T)), (k, K)
+
+    (_, _), (ks, Ks) = jax.lax.scan(
+        bstep, (vxT, vxxT), (fx, fu, lx, lu, lxx, luu, lux), reverse=True
+    )
+    return ks, Ks
+
+
+def _random_lqr(key, T=20, nx=7, nu=3):
+    ks = jax.random.split(key, 8)
+    n = jax.random.normal
+    fx = 0.95 * jnp.eye(nx) + 0.05 * n(ks[0], (T, nx, nx))
+    fu = 0.3 * n(ks[1], (T, nx, nu))
+    lx = 0.5 * n(ks[2], (T, nx))
+    lu = 0.5 * n(ks[3], (T, nu))
+    m = n(ks[4], (T, nx, nx))
+    lxx = m @ jnp.swapaxes(m, -1, -2) / nx + 0.5 * jnp.eye(nx)
+    mu = n(ks[5], (T, nu, nu))
+    luu = mu @ jnp.swapaxes(mu, -1, -2) / nu + 1.0 * jnp.eye(nu)
+    lux = 0.1 * n(ks[6], (T, nu, nx))
+    mT = n(ks[7], (nx, nx))
+    vxxT = mT @ mT.T / nx + 0.5 * jnp.eye(nx)
+    vxT = jnp.ones(nx) * 0.3
+    return fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT
+
+
+class TestAssociativeRiccati:
+    def test_matches_sequential_reg0(self):
+        prob = _random_lqr(jax.random.PRNGKey(0))
+        ks_s, Ks_s = jax.jit(_sequential_gains)(*prob)
+        ks_a, Ks_a = jax.jit(pr.lqr_gains_associative)(*prob)
+        np.testing.assert_allclose(np.asarray(ks_a), np.asarray(ks_s),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Ks_a), np.asarray(Ks_s),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_ilqr_solve_associative_descends(self):
+        """Full iLQR with the associative backward descends on a double
+        integrator."""
+        from hcr_genesis_lr_cl_tpu.mpc import ilqr
+
+        dyn = lambda x, u: jnp.array([x[0] + 0.1 * x[1], x[1] + 0.1 * u[0]])
+        cost = lambda x, u, up, t: jnp.square(x[0] - 1.0) + 0.01 * jnp.square(u).sum()
+        term = lambda x: 10.0 * jnp.square(x[0] - 1.0)
+        res = jax.jit(
+            lambda: ilqr.ilqr_solve(
+                dyn, cost, term, jnp.zeros(2), jnp.zeros((30, 1)),
+                n_iters=8, reg=1e-3, lin_chunk=30,
+                backward_mode="associative",
+            )
+        )()
+        trace = np.asarray(res.cost_trace)
+        assert np.all(np.isfinite(trace))
+        assert trace[-1] < 0.2 * trace[0]
+
+    def test_matches_sequential_long_horizon(self):
+        prob = _random_lqr(jax.random.PRNGKey(3), T=64, nx=5, nu=2)
+        ks_s, Ks_s = jax.jit(_sequential_gains)(*prob)
+        ks_a, Ks_a = jax.jit(pr.lqr_gains_associative)(*prob)
+        np.testing.assert_allclose(np.asarray(ks_a), np.asarray(ks_s),
+                                   rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(Ks_a), np.asarray(Ks_s),
+                                   rtol=5e-3, atol=5e-4)
