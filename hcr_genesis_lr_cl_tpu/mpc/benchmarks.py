@@ -174,8 +174,11 @@ def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
 
 
 def _time_solver(solver, x0, params, u0, n_solves):
-    res = solver(x0, params, u0)
-    jax.block_until_ready(res.cost)
+    # two warmup executions: a fresh executable's first runs can be slow on
+    # the axon tunnel (server-side caching/autotune)
+    for _ in range(2):
+        res = solver(x0, params, u0)
+        jax.block_until_ready(res.cost)
     times = []
     for _ in range(n_solves):
         t0 = time.time()

@@ -160,11 +160,15 @@ def ilqr_solve(
         # parallel line search: evaluate the whole alpha grid at once
         xs_c, us_c, costs = jax.vmap(lambda a: forward(xs, us, ks, Ks, a))(alphas)
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
-        i = jnp.argmin(costs)
-        improved = costs[i] < best_cost
-        xs = jnp.where(improved, xs_c[i], xs)
-        us = jnp.where(improved, us_c[i], us)
-        best_cost = jnp.minimum(costs[i], best_cost)
+        # one-hot contraction instead of xs_c[argmin] — random-index gathers
+        # are pathologically slow on the TPU backend and poison the process
+        onehot = jax.nn.one_hot(jnp.argmin(costs), costs.shape[0],
+                                dtype=xs_c.dtype)  # (A,)
+        best_c = jnp.einsum("a,a->", onehot, costs)
+        improved = best_c < best_cost
+        xs = jnp.where(improved, jnp.einsum("a,a...->...", onehot, xs_c), xs)
+        us = jnp.where(improved, jnp.einsum("a,a...->...", onehot, us_c), us)
+        best_cost = jnp.minimum(best_c, best_cost)
         return (xs, us, best_cost), best_cost
 
     xs0 = rollout(dyn, x0, u_init)

@@ -171,8 +171,14 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         costs = costs.reshape(A, S)
         best = jnp.argmin(costs, axis=0)  # (S,)
-        gather = lambda z: z.reshape((A, S) + z.shape[1:])[best, jnp.arange(S)]
-        return gather(xs_n), gather(us_n), costs[best, jnp.arange(S)]
+        # one-hot contraction instead of a row gather: random-index gathers
+        # cost ~0.7s on this TPU backend and poison subsequent dispatches
+        # in-process (see rl/ppo.py)
+        onehot = jax.nn.one_hot(best, A, axis=0, dtype=xs_n.dtype)  # (A, S)
+        sel = lambda z: jnp.einsum(
+            "as,as...->s...", onehot, z.reshape((A, S) + z.shape[1:])
+        )
+        return sel(xs_n), sel(us_n), jnp.einsum("as,as->s", onehot, costs)
 
     def solve(x0, params, u_init):
         xs = rollout(x0, u_init)
