@@ -111,3 +111,40 @@ class TestShardedTraining:
         step = jax.jit(env.step)
         state2, out = step(state, jnp.zeros((16, env.num_actions)))
         assert bool(jnp.all(jnp.isfinite(out.obs)))
+
+    def test_device_count_invariance(self):
+        """Same seed, 8-way DP sharded vs unsharded: identical training
+        losses (per-env PRNG folding makes DR/curricula device-count
+        independent; physics has no cross-env coupling — SURVEY §2.3)."""
+        from hcr_genesis_lr_cl_tpu.envs import registry
+        from hcr_genesis_lr_cl_tpu.parallel.mesh import (
+            make_mesh, replicate, shard_batch_tree,
+        )
+        from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+
+        n = 16
+        env = registry.make_env("go2", num_envs=n)
+        _, tcfg = registry.get_cfgs("go2")
+        tcfg = tcfg.replace(
+            runner=tcfg.runner.replace(num_steps_per_env=4),
+            algorithm=tcfg.algorithm.replace(num_learning_epochs=1,
+                                             num_mini_batches=2),
+        )
+        runner = OnPolicyRunner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(7))
+        _, info1 = jax.jit(runner.train_iteration)(st)
+
+        mesh = make_mesh(8)
+        st_s = st.replace(
+            env_state=shard_batch_tree(st.env_state, mesh, n),
+            bundle=shard_batch_tree(st.bundle, mesh, n),
+            ppo=replicate(st.ppo, mesh),
+            rng=replicate(st.rng, mesh),
+        )
+        _, info2 = jax.jit(runner.train_iteration)(st_s)
+        np.testing.assert_allclose(
+            float(info1["loss"]), float(info2["loss"]), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(info1["kl"]), float(info2["kl"]), rtol=1e-3, atol=1e-6
+        )
