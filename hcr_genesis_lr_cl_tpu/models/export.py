@@ -82,6 +82,76 @@ def _export(module, example_inputs, out_dir: str, name: str):
     return pt_path, onnx_path
 
 
+def lstm_cell_to_torch(cell_params: dict, in_dim: int, hidden: int):
+    """Convert a flax OptimizedLSTMCell param subtree (per-gate denses
+    ii/if/ig/io + hi/hf/hg/ho) into a torch.nn.LSTMCell. Both use the
+    i,f,g,o gate order and the same update equations."""
+    torch = _torch()
+    import torch.nn as nn
+
+    cell = nn.LSTMCell(in_dim, hidden)
+    gates = ("i", "f", "g", "o")
+    w_ih = np.concatenate(
+        [np.asarray(cell_params[f"i{g}"]["kernel"]).T for g in gates], axis=0
+    )
+    w_hh = np.concatenate(
+        [np.asarray(cell_params[f"h{g}"]["kernel"]).T for g in gates], axis=0
+    )
+    b_hh = np.concatenate(
+        [np.asarray(cell_params[f"h{g}"]["bias"]) for g in gates], axis=0
+    )
+    with torch.no_grad():
+        cell.weight_ih.copy_(torch.from_numpy(w_ih.copy()))
+        cell.weight_hh.copy_(torch.from_numpy(w_hh.copy()))
+        cell.bias_ih.zero_()
+        cell.bias_hh.copy_(torch.from_numpy(b_hh.copy()))
+    return cell
+
+
+def export_recurrent_policy(params: dict, policy_cfg, env_cfg, out_dir: str):
+    """Stateful LSTM deployment module (reference PolicyExporterLSTM,
+    helpers.py:320-348): hidden/cell states live in registered buffers,
+    updated in forward; reset_memory() zeroes them. TorchScript-scripted
+    (not traced) so the buffer mutation and the exported reset method
+    survive."""
+    torch = _torch()
+    import torch.nn as nn
+
+    if policy_cfg.rnn_type != "lstm":
+        raise ValueError("recurrent export supports rnn_type='lstm' only")
+    p = params["params"]
+    hidden = policy_cfg.rnn_hidden_size
+    in_dim = env_cfg.num_observations
+    cell = lstm_cell_to_torch(p["memory_a"]["cell"], in_dim, hidden)
+    actor = mlp_to_torch(p["actor"], policy_cfg.activation)
+
+    class PolicyLSTM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cell = cell
+            self.actor = actor
+            self.register_buffer("hidden_state", torch.zeros(1, hidden))
+            self.register_buffer("cell_state", torch.zeros(1, hidden))
+
+        def forward(self, x):
+            h, c = self.cell(x, (self.hidden_state, self.cell_state))
+            self.hidden_state = h
+            self.cell_state = c
+            return self.actor(h)
+
+        @torch.jit.export
+        def reset_memory(self):
+            self.hidden_state.zero_()
+            self.cell_state.zero_()
+
+    os.makedirs(out_dir, exist_ok=True)
+    module = PolicyLSTM().eval()
+    scripted = torch.jit.script(module)
+    pt_path = os.path.join(out_dir, "policy_lstm_1.pt")
+    scripted.save(pt_path)
+    return pt_path, None
+
+
 def export_policy(runner_name: str, params: dict, policy_cfg, env_cfg,
                   out_dir: str):
     """Export the deployment policy for the given runner family.

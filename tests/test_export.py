@@ -42,6 +42,53 @@ class TestExport:
         a_jax = np.asarray(runner.alg.act_inference(st.ppo.params, jnp.asarray(obs)))
         np.testing.assert_allclose(a_jax, a_torch, atol=1e-5)
 
+    def test_recurrent_lstm_export_stateful(self, tmp_path):
+        """Exported stateful LSTM module matches the flax recurrent actor
+        step-for-step, and reset_memory() restarts the sequence."""
+        from hcr_genesis_lr_cl_tpu.core.config import EnvCfg, PolicyCfg
+        from hcr_genesis_lr_cl_tpu.models.export import export_recurrent_policy
+        from hcr_genesis_lr_cl_tpu.models.recurrent import ActorCriticRecurrent
+
+        nobs, hidden = 12, 32
+        net = ActorCriticRecurrent(
+            num_actions=4, actor_hidden_dims=(16,), critic_hidden_dims=(16,),
+            rnn_hidden_size=hidden,
+        )
+        init_h = {
+            "actor": (jnp.zeros((1, hidden)), jnp.zeros((1, hidden))),
+            "critic": (jnp.zeros((1, hidden)), jnp.zeros((1, hidden))),
+        }
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, nobs)),
+                          jnp.zeros((1, nobs)), init_h)
+        pt, _ = export_recurrent_policy(
+            jax.device_get(params),
+            PolicyCfg(rnn_hidden_size=hidden),
+            EnvCfg(num_observations=nobs),
+            str(tmp_path),
+        )
+        mod = torch.jit.load(pt)
+        rng = np.random.default_rng(2)
+        xs = rng.normal(size=(5, 1, nobs)).astype(np.float32)
+
+        def flax_run():
+            h = init_h
+            outs = []
+            for t in range(5):
+                mean, _, _, h = net.apply(params, jnp.asarray(xs[t]),
+                                          jnp.asarray(xs[t]), h)
+                outs.append(np.asarray(mean))
+            return np.stack(outs)
+
+        ref = flax_run()
+        with torch.no_grad():
+            got = np.stack([mod(torch.from_numpy(xs[t])).numpy() for t in range(5)])
+        np.testing.assert_allclose(ref, got, atol=1e-5)
+        # reset and replay gives the same sequence again
+        mod.reset_memory()
+        with torch.no_grad():
+            got2 = np.stack([mod(torch.from_numpy(xs[t])).numpy() for t in range(5)])
+        np.testing.assert_allclose(ref, got2, atol=1e-5)
+
     def test_ts_student_export(self, tmp_path):
         env = registry.make_env("go2_ts", num_envs=4)
         _, tcfg = registry.get_cfgs("go2_ts")
