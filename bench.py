@@ -47,8 +47,11 @@ def bench_training(num_envs=4096, iters=5):
 def main():
     num_scenarios = int(os.environ.get("BENCH_MPC_SCENARIOS", 4096))
     horizon = int(os.environ.get("BENCH_MPC_HORIZON", 50))
-    n_iters = int(os.environ.get("BENCH_MPC_ITERS", 2))
+    # iters=3 with a single linearization (relin_every=3) measured both
+    # faster AND lower-cost than iters=2 with per-iteration FD on v5e
+    n_iters = int(os.environ.get("BENCH_MPC_ITERS", 3))
     n_solves = int(os.environ.get("BENCH_MPC_SOLVES", 2))
+    relin_every = int(os.environ.get("BENCH_MPC_RELIN", n_iters))
     # training bench runs FIRST: the MPC solves' argmin selections used to
     # poison the process for later dispatches (random-index gather pathology)
     try:
@@ -68,6 +71,7 @@ def main():
             # block_b=2048 measured fastest on v5e; >=4096 trips the remote
             # compiler
             block_b=int(os.environ.get("BENCH_MPC_BLOCK", 2048)),
+            relin_every=relin_every,
         )
         print(
             f"# mpc p50 {r['p50_ms']:.0f} ms, p99 {r['p99_ms']:.0f} ms per solve "

@@ -143,7 +143,7 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
 
 def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
                       use_gait=False, substeps=4, scenario_chunk=1024,
-                      block_b=512):
+                      block_b=512, relin_every=1):
     """BASELINE configs 1/2 via the FD-kernel solver (ilqr_fd): linearization
     is S*T*(nx+nu+1) forward passes through the fused Pallas control-step
     kernel in one dispatch instead of jacfwd through the XLA dynamics."""
@@ -154,7 +154,7 @@ def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
     chunk = min(scenario_chunk, num_scenarios)
     n_chunks = num_scenarios // chunk
     solve = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=n_iters,
-                                   block_b=block_b)
+                                   block_b=block_b, relin_every=relin_every)
 
     def solver(x0, params, u0):
         resh = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])

@@ -36,7 +36,7 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    n_iters: int = 3, reg: float = 0.5,
                    alphas=(1.0, 0.1, 0.01, 0.0), block_b: int = 512,
                    interpret: bool = False, eps: float = 1e-3,
-                   dyn_override=None):
+                   dyn_override=None, relin_every: int = 1):
     T = horizon
     nx = mdyn.nx(mm.model)
     nu = mm.model.nj
@@ -183,18 +183,30 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
     def solve(x0, params, u_init):
         xs = rollout(x0, u_init)
         c0 = total_cost(params, xs, u_init)
+        S = x0.shape[0]
 
-        def iteration(carry, _):
-            xs, us, best_cost = carry
-            up = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
-            S = x0.shape[0]
+        def linearize(xs, us):
             flat_x = xs[:, :-1].reshape(S * T, nx)
             flat_u = to_topo(us.reshape(S * T, nu))
             _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u,
                                          eps_x=eps, eps_u=eps)
             # fu columns are w.r.t. topo-order controls; permute to user order
-            fx = fx.reshape(S, T, nx, nx)
-            fu = fu.reshape(S, T, nx, nu)[..., uidx]
+            return (fx.reshape(S, T, nx, nx),
+                    fu.reshape(S, T, nx, nu)[..., uidx])
+
+        def iteration(carry, i):
+            xs, us, best_cost, fx, fu = carry
+            if relin_every > 1:
+                # lazy relinearization: the FD dispatch dominates solve time
+                # (~77%); stale Jacobians are a Gauss-Newton-style
+                # approximation — the line search still guards acceptance
+                fx, fu = jax.lax.cond(
+                    (i % relin_every) == 0,
+                    lambda: linearize(xs, us),
+                    lambda: (fx, fu),
+                )
+            else:
+                fx, fu = linearize(xs, us)
             lx, lu, lxx, luu, lux, vxT, vxxT = quadratize(params, xs, us)
             ks, Ks = backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
             xs_n, us_n, cost_n = forward_all(params, x0, xs, us, ks, Ks)
@@ -202,10 +214,12 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
             xs = jnp.where(better[:, None, None], xs_n, xs)
             us = jnp.where(better[:, None, None], us_n, us)
             best_cost = jnp.minimum(cost_n, best_cost)
-            return (xs, us, best_cost), best_cost
+            return (xs, us, best_cost, fx, fu), best_cost
 
-        (xs, us, cost), trace = jax.lax.scan(
-            iteration, (xs, u_init, c0), None, length=n_iters
+        fx0 = jnp.zeros((S, T, nx, nx))
+        fu0 = jnp.zeros((S, T, nx, nu))
+        (xs, us, cost, _, _), trace = jax.lax.scan(
+            iteration, (xs, u_init, c0, fx0, fu0), jnp.arange(n_iters)
         )
         return FdIlqrResult(
             xs, us, cost, jnp.concatenate([c0[:, None], trace.T], axis=1)

@@ -35,6 +35,10 @@ def get_args(argv=None):
     ap.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
     ap.add_argument("--tensorboard", action="store_true",
                     help="write TensorBoard scalars to the log dir")
+    ap.add_argument("--sync_wandb", action="store_true",
+                    help="mirror TensorBoard scalars to wandb "
+                         "(reference on_policy_runner.py:160-167); "
+                         "gracefully skipped if wandb is unavailable")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of iterations 2-4 to DIR")
     ap.add_argument("--debug_nans", action="store_true",
@@ -87,10 +91,18 @@ def train(args):
         )
 
     writer = None
-    if args.tensorboard:
+    if args.tensorboard or args.sync_wandb:
         from torch.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(log_dir=log_dir)
+    if args.sync_wandb:
+        try:
+            import wandb
+
+            wandb.init(project=tcfg.runner.experiment_name,
+                       name=tcfg.runner.run_name, sync_tensorboard=True)
+        except ImportError:
+            print("wandb not installed; --sync_wandb skipped")
 
     env = registry.make_env(args.task, cfg=cfg)
     # runner registry dispatch (reference task_registry.make_alg_runner:74-134)

@@ -57,6 +57,19 @@ class TestFdDynamics:
 
 
 class TestFdSolver:
+    def test_fd_solver_lazy_relin_descends(self):
+        """relin_every>1 (single linearization reused) still descends."""
+        env, mm = mb.make_go2_mpc(substeps=2)
+        solver = ilqr_fd.make_fd_solver(
+            mm, mcosts.CostWeights(), horizon=8, n_iters=3, block_b=8,
+            interpret=True, relin_every=3,
+        )
+        x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
+        res = solver(x0, params, jnp.zeros((2, 8, 12)))
+        trace = np.asarray(res.cost_trace)
+        assert np.all(np.isfinite(trace))
+        assert float(trace[:, -1].mean()) < 0.99 * float(trace[:, 0].mean())
+
     def test_fd_solver_descends(self):
         env, mm = mb.make_go2_mpc(substeps=2)
         solver = ilqr_fd.make_fd_solver(
