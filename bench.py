@@ -67,11 +67,16 @@ def main():
         r = benchmarks.bench_go2_flat_fd(
             num_scenarios=num_scenarios, horizon=horizon, n_solves=n_solves,
             n_iters=n_iters,
+            # chunked sequential dispatch measured FASTER than one monolithic
+            # full-batch solve (1434 vs 1630 ms): the 4 chunk executions
+            # pipeline host-side dispatch against device compute on the
+            # tunnel, which outweighs the better per-step batch utilization
             scenario_chunk=int(os.environ.get("BENCH_MPC_CHUNK", 1024)),
             # block_b=2048 measured fastest on v5e; >=4096 trips the remote
             # compiler
             block_b=int(os.environ.get("BENCH_MPC_BLOCK", 2048)),
             relin_every=relin_every,
+            lin_chunks=int(os.environ.get("BENCH_MPC_LIN_CHUNKS", 1)),
         )
         print(
             f"# mpc p50 {r['p50_ms']:.0f} ms, p99 {r['p99_ms']:.0f} ms per solve "

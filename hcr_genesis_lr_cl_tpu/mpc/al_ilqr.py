@@ -47,7 +47,7 @@ def al_ilqr_solve(
     mu_scale: float = 10.0,
     lam_max: float = 1e4,
     reg: float = 0.5,
-    alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.0),
+    alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003),
     lin_chunk: int = 10,
     u_bounds=None,
 ) -> AlIlqrResult:

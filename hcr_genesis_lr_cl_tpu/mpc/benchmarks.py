@@ -59,7 +59,7 @@ def default_x0(env, mm, height=0.32):
 
 
 def make_solver(env, mm, weights: mcosts.CostWeights, horizon: int,
-                n_iters: int = 3, alphas=(1.0, 0.1, 0.01, 0.0), lin_chunk: int = 10):
+                n_iters: int = 3, alphas=(1.0, 0.1, 0.01), lin_chunk: int = 10):
     """Batched solver: (x0 (S,nx), params CostParams (S,...), us (S,T,nu))."""
 
     def solve_one(x0, p, u_init):
@@ -116,7 +116,7 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
         cost = lambda x, u, up, t: mcosts.stage_cost(mm, w, p, x, u, up, t)
         term = lambda x: mcosts.terminal_cost(mm, w, p, x)
         return ilqr.ilqr_solve(dyn, cost, term, x0, u_init, n_iters=n_iters,
-                               alphas=(1.0, 0.1, 0.01, 0.0),
+                               alphas=(1.0, 0.1, 0.01),
                                u_bounds=mdyn.u_bounds(mm))
 
     vsolve = jax.jit(jax.vmap(solve_one))
@@ -143,7 +143,7 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
 
 def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
                       use_gait=False, substeps=4, scenario_chunk=1024,
-                      block_b=512, relin_every=1):
+                      block_b=512, relin_every=1, lin_chunks=1):
     """BASELINE configs 1/2 via the FD-kernel solver (ilqr_fd): linearization
     is S*T*(nx+nu+1) forward passes through the fused Pallas control-step
     kernel in one dispatch instead of jacfwd through the XLA dynamics."""
@@ -154,7 +154,8 @@ def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
     chunk = min(scenario_chunk, num_scenarios)
     n_chunks = num_scenarios // chunk
     solve = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=n_iters,
-                                   block_b=block_b, relin_every=relin_every)
+                                   block_b=block_b, relin_every=relin_every,
+                                   lin_chunks=lin_chunks)
 
     def solver(x0, params, u0):
         resh = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
@@ -247,7 +248,7 @@ def bench_tron1_pf_cat_hard(num_scenarios=256, horizon=50, n_solves=3,
         term = lambda x: mcosts.terminal_cost(mm, w, p, x)
         return al_ilqr.al_ilqr_solve(dyn, cost, term, cons, x0, u_init,
                                      n_outer=n_outer, n_inner=n_inner,
-                                     alphas=(1.0, 0.1, 0.01, 0.0),
+                                     alphas=(1.0, 0.1, 0.01),
                                      u_bounds=mdyn.u_bounds(mm))
 
     solver = jax.jit(jax.vmap(solve_one))

@@ -65,7 +65,7 @@ def ilqr_solve(
     u_init: jnp.ndarray,  # (T, nu)
     n_iters: int = 10,
     reg: float = 0.5,
-    alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003, 0.0),
+    alphas=(1.0, 0.3, 0.1, 0.03, 0.01, 0.003),
     lin_chunk: int = 10,
     u_bounds=None,  # optional (u_lo, u_hi) clamp on line-search candidates
     backward_mode: str = "sequential",  # | "associative" (O(log T) depth,

@@ -34,15 +34,20 @@ class FdIlqrResult(NamedTuple):
 
 def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    n_iters: int = 3, reg: float = 0.5,
-                   alphas=(1.0, 0.1, 0.01, 0.0), block_b: int = 512,
+                   alphas=(1.0, 0.1, 0.01), block_b: int = 512,
                    interpret: bool = False, eps: float = 1e-3,
-                   dyn_override=None, relin_every: int = 1):
+                   dyn_override=None, relin_every: int = 1,
+                   lin_chunks: int = 1):
     T = horizon
     nx = mdyn.nx(mm.model)
     nu = mm.model.nj
     uidx = jnp.asarray(mm.model.user_dof_idx)
     dyn_batch = (dyn_override if dyn_override is not None
                  else fdy.make_kernel_dyn(mm, block_b=block_b, interpret=interpret))
+    # no alpha=0 candidate: the acceptance check (cost_n < best_cost, else
+    # keep the old trajectory) already provides the zero-step fallback, and
+    # measured on v5e the extra candidate nearly doubled per-iteration time
+    # for bitwise-identical final cost
     alphas_arr = jnp.asarray(alphas)
     A = len(alphas)
 
@@ -188,8 +193,25 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         def linearize(xs, us):
             flat_x = xs[:, :-1].reshape(S * T, nx)
             flat_u = to_topo(us.reshape(S * T, nu))
-            _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u,
-                                         eps_x=eps, eps_u=eps)
+            if lin_chunks > 1:
+                # the FD dispatch is throughput-bound (fine), but its
+                # (rows x P) intermediates are the solve's peak memory; lax.map
+                # over row chunks bounds that while the rest of the solve runs
+                # at the full scenario batch (the T-sequential forward scans
+                # are latency-bound per step, so a bigger batch there is free)
+                def one(args):
+                    _, fx_c, fu_c = fdy.fd_linearize(dyn_batch, *args,
+                                                     eps_x=eps, eps_u=eps)
+                    return fx_c, fu_c
+                M = S * T
+                resh = lambda a: a.reshape((lin_chunks, M // lin_chunks)
+                                           + a.shape[1:])
+                fx, fu = jax.lax.map(one, (resh(flat_x), resh(flat_u)))
+                fx = fx.reshape(M, nx, nx)
+                fu = fu.reshape(M, nx, nu)
+            else:
+                _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u,
+                                             eps_x=eps, eps_u=eps)
             # fu columns are w.r.t. topo-order controls; permute to user order
             return (fx.reshape(S, T, nx, nx),
                     fu.reshape(S, T, nx, nu)[..., uidx])

@@ -70,6 +70,21 @@ class TestFdSolver:
         assert np.all(np.isfinite(trace))
         assert float(trace[:, -1].mean()) < 0.99 * float(trace[:, 0].mean())
 
+    def test_fd_solver_lin_chunks_identical(self):
+        """Chunked FD linearization (lax.map) == single-dispatch FD."""
+        env, mm = mb.make_go2_mpc(substeps=2)
+        kw = dict(horizon=4, n_iters=2, block_b=8, interpret=True,
+                  relin_every=2)
+        s1 = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(), lin_chunks=1, **kw)
+        s2 = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(), lin_chunks=2, **kw)
+        x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
+        u0 = jnp.zeros((2, 4, 12))
+        r1, r2 = s1(x0, params, u0), s2(x0, params, u0)
+        np.testing.assert_allclose(np.asarray(r1.us), np.asarray(r2.us),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1.cost), np.asarray(r2.cost),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_fd_solver_descends(self):
         env, mm = mb.make_go2_mpc(substeps=2)
         solver = ilqr_fd.make_fd_solver(
