@@ -40,7 +40,7 @@ def play(args):
     from hcr_genesis_lr_cl_tpu.envs import registry
     from hcr_genesis_lr_cl_tpu.rl.runner import make_runner
     from hcr_genesis_lr_cl_tpu.runtime.train import find_checkpoint
-    from hcr_genesis_lr_cl_tpu.utils.logger import Logger
+    from hcr_genesis_lr_cl_tpu.utils.logger import Logger, QuadLogger
 
     cfg, tcfg = registry.get_cfgs(args.task, num_envs=min(args.num_envs, 32))
     # play overrides (reference play.py:11-75): small batch, less terrain,
@@ -75,7 +75,10 @@ def play(args):
         )
         print(f"exported policy: {pt} {onnx}")
 
-    logger = Logger(env.dt)
+    # gait tasks get the per-foot QuadLogger grid + spreadsheet export
+    # (reference play.py uses QuadLogger for the WTW task)
+    is_gait = "exp_C_frc" in getattr(st.env_state, "extra", {})
+    logger = QuadLogger(env.dt) if is_gait else Logger(env.dt)
     params = st.ppo.params
 
     @jax.jit
@@ -108,6 +111,12 @@ def play(args):
                 base_height=env_state.physics.base_pos[0, 2],
             )
         )
+        if is_gait:
+            frc = jax.device_get(env_state.extra["exp_C_frc"][0])
+            fz = jax.device_get(env.feet_contact_forces(env_state)[0, :, 2])
+            for j, foot in enumerate(QuadLogger.FEET[: frc.shape[0]]):
+                s[f"exp_C_frc_{foot}"] = frc[j]
+                s[f"contact_forces_{foot}"] = fz[j]
         logger.log_states(s)
         m = jax.device_get(out.metrics)
         if float(m.get("reset_count", 0.0)):
@@ -115,6 +124,8 @@ def play(args):
 
     os.makedirs(args.out_dir, exist_ok=True)
     logger.save_csv(os.path.join(args.out_dir, f"{args.task}_states.csv"))
+    if is_gait:
+        logger.save_xlsx(os.path.join(args.out_dir, f"{args.task}_states.xlsx"))
     logger.plot(os.path.join(args.out_dir, f"{args.task}_states.png"))
     logger.print_rewards()
     print(f"play done: logs in {args.out_dir}/")

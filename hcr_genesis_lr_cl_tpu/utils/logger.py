@@ -85,3 +85,69 @@ class Logger:
         print("Average rewards per second:")
         for k, v in self.rew_log.items():
             print(f"  {k}: {np.sum(np.array(v)) / max(self.num_episodes, 1):.4f}")
+
+
+class QuadLogger(Logger):
+    """Gait-diagnostic logger (reference logger.py:179-300 `QuadLogger`).
+
+    Adds the 3x4 per-foot plot grid (commanded-vs-measured base velocities,
+    per-foot periodic-gait force indicators `exp_C_frc_*`, per-foot contact
+    forces) and spreadsheet export (xlsx via xlsxwriter/openpyxl when
+    installed — the reference hard-requires xlsxwriter, logger.py:6 — with a
+    CSV fallback so headless TPU images need no extra dependency)."""
+
+    FEET = ("fl", "fr", "rl", "rr")
+
+    def save_xlsx(self, path: str):
+        try:
+            import xlsxwriter
+        except ImportError:
+            alt = os.path.splitext(path)[0] + ".csv"
+            self.save_csv(alt)
+            print(f"xlsxwriter not installed; wrote CSV instead: {alt}")
+            return
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        workbook = xlsxwriter.Workbook(path)
+        ws = workbook.add_worksheet()
+        keys = list(self.state_log.keys())
+        for col, k in enumerate(keys):
+            ws.write(0, col, k)
+        for col, k in enumerate(keys):
+            for row, v in enumerate(self.state_log[k]):
+                ws.write(1 + row, col, float(np.ravel(v)[0]))
+        workbook.close()
+        print("xlsx file created and filled!")
+
+    def plot(self, path: str):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        log = self.state_log
+        t = np.arange(max(len(v) for v in log.values())) * self.dt if log else []
+        fig, axs = plt.subplots(3, 4, figsize=(12, 9))
+        panels = [
+            ("base_vel_x", "command_x", "Base velocity x"),
+            ("base_vel_y", "command_y", "Base velocity y"),
+            ("base_vel_yaw", "command_yaw", "Base velocity yaw"),
+            (None, None, ""),
+        ] + [(f"exp_C_frc_{f}", None, f"exp_C_frc_{f}") for f in self.FEET] \
+          + [(f"contact_forces_{f}", None, f"contact_forces_{f}")
+             for f in self.FEET]
+        for ax, (key, key2, title) in zip(axs.ravel(), panels):
+            if key and key in log:
+                ax.plot(t[: len(log[key])],
+                        np.stack(log[key]).reshape(len(log[key]), -1),
+                        label="measured")
+            if key2 and key2 in log:
+                ax.plot(t[: len(log[key2])],
+                        np.stack(log[key2]).reshape(len(log[key2]), -1),
+                        "--", label="commanded")
+            ax.set_title(title)
+            if key and key in log:
+                ax.legend()
+        fig.tight_layout()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=100)
+        plt.close(fig)
