@@ -77,6 +77,7 @@ def main():
             block_b=int(os.environ.get("BENCH_MPC_BLOCK", 2048)),
             relin_every=relin_every,
             lin_chunks=int(os.environ.get("BENCH_MPC_LIN_CHUNKS", 1)),
+            lin_stride=int(os.environ.get("BENCH_MPC_LIN_STRIDE", 1)),
         )
         print(
             f"# mpc p50 {r['p50_ms']:.0f} ms, p99 {r['p99_ms']:.0f} ms per solve "

@@ -143,7 +143,8 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
 
 def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
                       use_gait=False, substeps=4, scenario_chunk=1024,
-                      block_b=512, relin_every=1, lin_chunks=1):
+                      block_b=512, relin_every=1, lin_chunks=1, lin_stride=1,
+                      alphas=(1.0, 0.1, 0.01)):
     """BASELINE configs 1/2 via the FD-kernel solver (ilqr_fd): linearization
     is S*T*(nx+nu+1) forward passes through the fused Pallas control-step
     kernel in one dispatch instead of jacfwd through the XLA dynamics."""
@@ -155,7 +156,8 @@ def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
     n_chunks = num_scenarios // chunk
     solve = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=n_iters,
                                    block_b=block_b, relin_every=relin_every,
-                                   lin_chunks=lin_chunks)
+                                   lin_chunks=lin_chunks, lin_stride=lin_stride,
+                                   alphas=alphas)
 
     def solver(x0, params, u0):
         resh = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
@@ -175,16 +177,30 @@ def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
 
 
 def _time_solver(solver, x0, params, u0, n_solves):
+    # Every call gets DISTINCT inputs (deterministic jitter on the joint
+    # positions) and blocks on the FULL result tree: the axon runtime was
+    # observed returning in ~5 ms for repeat executions with bit-identical
+    # inputs (server-side result caching), which silently fabricates
+    # throughput numbers.
+    nj = (x0.shape[-1] - 13) // 2
+
+    def jitter(i):
+        dq = 1e-3 * jax.random.normal(jax.random.PRNGKey(1000 + i),
+                                      x0[..., 13:13 + nj].shape)
+        return x0.at[..., 13:13 + nj].add(dq)
+
     # two warmup executions: a fresh executable's first runs can be slow on
     # the axon tunnel (server-side caching/autotune)
-    for _ in range(2):
-        res = solver(x0, params, u0)
-        jax.block_until_ready(res.cost)
+    for i in range(2):
+        res = solver(jitter(i), params, u0)
+        jax.block_until_ready(res)
     times = []
-    for _ in range(n_solves):
+    for i in range(n_solves):
+        x0_i = jitter(100 + i)
+        jax.block_until_ready(x0_i)
         t0 = time.time()
-        res = solver(x0, params, u0)
-        jax.block_until_ready(res.cost)
+        res = solver(x0_i, params, u0)
+        jax.block_until_ready(res)
         times.append(time.time() - t0)
     times = np.asarray(times)
     return res, {

@@ -159,7 +159,13 @@ def ilqr_solve(
             ks, Ks = backward(*lin)
         # parallel line search: evaluate the whole alpha grid at once
         xs_c, us_c, costs = jax.vmap(lambda a: forward(xs, us, ks, Ks, a))(alphas)
-        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        # FINITE sentinel + zeroed diverged rows: the one-hot contraction
+        # multiplies non-selected rows by 0, and 0*inf/0*nan = nan would
+        # poison the selected trajectory/cost (and leak into best_cost
+        # through jnp.minimum) whenever any candidate diverges
+        costs = jnp.where(jnp.isfinite(costs), costs, 1e30)
+        xs_c = jnp.where(jnp.isfinite(xs_c), xs_c, 0.0)
+        us_c = jnp.where(jnp.isfinite(us_c), us_c, 0.0)
         # one-hot contraction instead of xs_c[argmin] — random-index gathers
         # are pathologically slow on the TPU backend and poison the process
         onehot = jax.nn.one_hot(jnp.argmin(costs), costs.shape[0],

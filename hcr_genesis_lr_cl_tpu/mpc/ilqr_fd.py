@@ -37,7 +37,7 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    alphas=(1.0, 0.1, 0.01), block_b: int = 512,
                    interpret: bool = False, eps: float = 1e-3,
                    dyn_override=None, relin_every: int = 1,
-                   lin_chunks: int = 1):
+                   lin_chunks: int = 1, lin_stride: int = 1):
     T = horizon
     nx = mdyn.nx(mm.model)
     nu = mm.model.nj
@@ -172,8 +172,16 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         xs_n = jnp.concatenate([x0b[:, None], jnp.swapaxes(xs_n, 0, 1)], axis=1)
         us_n = jnp.swapaxes(us_n, 0, 1)
         pb = jax.tree.map(rep, params)
-        costs = total_cost(pb, xs_n, us_n)  # (A*S,)
-        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        costs = total_cost(pb, xs_n, us_n)  # (A*S,) — on the RAW rollouts
+        # sanitize diverged candidates with FINITE sentinels: the one-hot
+        # contraction below multiplies non-selected rows by 0, and 0*inf/0*nan
+        # = nan would poison the selected trajectory/cost (a rejected-row nan
+        # even leaked into the accepted best_cost via jnp.minimum). Costs are
+        # computed BEFORE zeroing so a diverged candidate keeps its (huge)
+        # sentinel cost and can never be selected over a finite one.
+        xs_n = jnp.where(jnp.isfinite(xs_n), xs_n, 0.0)
+        us_n = jnp.where(jnp.isfinite(us_n), us_n, 0.0)
+        costs = jnp.where(jnp.isfinite(costs), costs, 1e30)
         costs = costs.reshape(A, S)
         best = jnp.argmin(costs, axis=0)  # (S,)
         # one-hot contraction instead of a row gather: random-index gathers
@@ -190,7 +198,26 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         c0 = total_cost(params, xs, u_init)
         S = x0.shape[0]
 
+        # knots actually linearized when lin_stride > 1 (Jacobians are reused
+        # across each stride group: the FD dispatch dominates solve time, and
+        # f is smooth along the trajectory at MPC dt except at contact
+        # transitions — the line search guards acceptance either way)
+        Ts = (T + lin_stride - 1) // lin_stride
+        knot_idx = jnp.arange(Ts) * lin_stride
+
         def linearize(xs, us):
+            if lin_stride > 1:
+                xs_k = xs[:, :-1][:, knot_idx]  # (S, Ts, nx)
+                us_k = us[:, knot_idx]
+                flat_x = xs_k.reshape(S * Ts, nx)
+                flat_u = to_topo(us_k.reshape(S * Ts, nu))
+                _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u,
+                                             eps_x=eps, eps_u=eps)
+                fx = jnp.repeat(fx.reshape(S, Ts, nx, nx), lin_stride,
+                                axis=1)[:, :T]
+                fu = jnp.repeat(fu.reshape(S, Ts, nx, nu), lin_stride,
+                                axis=1)[:, :T]
+                return fx, fu[..., uidx]
             flat_x = xs[:, :-1].reshape(S * T, nx)
             flat_u = to_topo(us.reshape(S * T, nu))
             if lin_chunks > 1:

@@ -14,7 +14,7 @@ from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
 class TestFdDynamics:
     def test_kernel_dyn_matches_mdyn(self):
         env, mm = mb.make_go2_mpc(substeps=2)
-        dyn_b = fdy.make_kernel_dyn(mm, block_b=8, interpret=True)
+        dyn_b = fdy.make_kernel_dyn(mm, block_b=64, interpret=True)
         x0, _ = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 4)
         u = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (4, 12))
         uidx = jnp.asarray(env.model.user_dof_idx)
@@ -34,7 +34,7 @@ class TestFdDynamics:
         identically, isolating what this test is for: the fused kernel
         linearizes the same dynamics as the reference XLA path."""
         env, mm = mb.make_go2_mpc(substeps=2)
-        dyn_b = fdy.make_kernel_dyn(mm, block_b=8, interpret=True)
+        dyn_b = fdy.make_kernel_dyn(mm, block_b=64, interpret=True)
         x0, _ = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
         uidx = jnp.asarray(env.model.user_dof_idx)
         u_topo = jnp.zeros((2, 12))
@@ -56,13 +56,25 @@ class TestFdDynamics:
             assert float((err / scale).max()) < 0.05
 
 
+def _xla_dyn(env, mm):
+    """Batched XLA dynamics with the kernel's (B, nx), (B, nu_topo) signature.
+
+    Solver-plumbing tests (lazy relin, lin_chunks, lin_stride) exercise pure
+    iLQR logic, not the kernel; routing them through mdyn.step keeps them
+    seconds-fast on CPU (one interpreted-kernel solver test remains below)."""
+    uidx = jnp.asarray(env.model.user_dof_idx)
+    return lambda X, U_topo: jax.vmap(
+        lambda x, ut: mdyn.step(mm, x, ut[uidx])
+    )(X, U_topo)
+
+
 class TestFdSolver:
     def test_fd_solver_lazy_relin_descends(self):
         """relin_every>1 (single linearization reused) still descends."""
         env, mm = mb.make_go2_mpc(substeps=2)
         solver = ilqr_fd.make_fd_solver(
-            mm, mcosts.CostWeights(), horizon=8, n_iters=3, block_b=8,
-            interpret=True, relin_every=3,
+            mm, mcosts.CostWeights(), horizon=8, n_iters=3,
+            dyn_override=_xla_dyn(env, mm), relin_every=3,
         )
         x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
         res = solver(x0, params, jnp.zeros((2, 8, 12)))
@@ -73,26 +85,51 @@ class TestFdSolver:
     def test_fd_solver_lin_chunks_identical(self):
         """Chunked FD linearization (lax.map) == single-dispatch FD."""
         env, mm = mb.make_go2_mpc(substeps=2)
-        kw = dict(horizon=4, n_iters=2, block_b=8, interpret=True,
+        kw = dict(horizon=4, n_iters=2, dyn_override=_xla_dyn(env, mm),
                   relin_every=2)
         s1 = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(), lin_chunks=1, **kw)
         s2 = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(), lin_chunks=2, **kw)
         x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
         u0 = jnp.zeros((2, 4, 12))
         r1, r2 = s1(x0, params, u0), s2(x0, params, u0)
+        # chunking changes XLA fusion; FD amplifies the resulting f32 noise
+        # by 1/eps=1e3, so "identical" means 1e-3-level here, not bitwise
         np.testing.assert_allclose(np.asarray(r1.us), np.asarray(r2.us),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=5e-3, atol=5e-3)
         np.testing.assert_allclose(np.asarray(r1.cost), np.asarray(r2.cost),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_fd_solver_lin_stride_descends(self):
+        """Strided linearization (Jacobians reused across stride groups)
+        still descends, and stride=1 is the exact baseline path.
+
+        substeps=4 (5 ms inner dt, the MPC production setting) and a 16-
+        scenario batch: per-scenario descent through stiff contact is
+        all-or-nothing (candidates accepted or rejected wholesale), so the
+        assertion is on the batch mean."""
+        env, mm = mb.make_go2_mpc(substeps=4)
+        kw = dict(horizon=8, n_iters=3, dyn_override=_xla_dyn(env, mm))
+        s2 = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(), lin_stride=2, **kw)
+        x0, params = mb.sample_scenarios(jax.random.PRNGKey(1), env, mm, 16)
+        res = s2(x0, params, jnp.zeros((16, 8, 12)))
+        trace = np.asarray(res.cost_trace)
+        assert np.all(np.isfinite(trace))
+        assert np.all(trace[:, -1] <= trace[:, 0] + 1e-4)
+        assert float(trace[:, -1].mean()) < 0.99 * float(trace[:, 0].mean())
 
     def test_fd_solver_descends(self):
+        """End-to-end descent through the interpreted Pallas kernel.
+
+        Sized so every pallas_call is a single grid step (S*T*(nx+nu+1) =
+        400 rows <= block_b): interpret mode re-traces the kernel body per
+        grid step, so grid count — not row count — sets the test's runtime."""
         env, mm = mb.make_go2_mpc(substeps=2)
         solver = ilqr_fd.make_fd_solver(
-            mm, mcosts.CostWeights(), horizon=8, n_iters=3, block_b=8,
+            mm, mcosts.CostWeights(), horizon=4, n_iters=2, block_b=512,
             interpret=True,
         )
         x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
-        res = solver(x0, params, jnp.zeros((2, 8, 12)))
+        res = solver(x0, params, jnp.zeros((2, 4, 12)))
         trace = np.asarray(res.cost_trace)
         assert np.all(np.isfinite(trace))
         assert np.all(trace[:, -1] <= trace[:, 0] + 1e-4)
