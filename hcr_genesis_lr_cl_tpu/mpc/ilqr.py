@@ -25,7 +25,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from hcr_genesis_lr_cl_tpu.physics.algebra import solve_psd
+from hcr_genesis_lr_cl_tpu.mpc import riccati
 
 
 class IlqrResult(NamedTuple):
@@ -33,11 +33,6 @@ class IlqrResult(NamedTuple):
     us: jnp.ndarray  # (T, nu)
     cost: jnp.ndarray  # ()
     cost_trace: jnp.ndarray  # (n_iters+1,)
-
-
-def _solve_psd_mat(A, B):
-    """A^{-1} B for small SPD A, B (..., n, m): column-wise unrolled Cholesky."""
-    return jax.vmap(lambda b: solve_psd(A, b), in_axes=-1, out_axes=-1)(B)
 
 
 def rollout(dyn: Callable, x0, us):
@@ -99,32 +94,14 @@ def ilqr_solve(
         return fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T
 
     def backward(fx, fu, lx, lu, lxx, luu, lux, vx_T, vxx_T):
-        def bstep(carry, inp):
-            vx, vxx = carry
-            fx_t, fu_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
-            qx = lx_t + fx_t.T @ vx
-            qu = lu_t + fu_t.T @ vx
-            qxx = lxx_t + fx_t.T @ vxx @ fx_t
-            # Tassa-style state regularization: gains computed with
-            # (Vxx + mu I) so indefinite Vxx (quaternion cost curvature) and
-            # stiff-contact Jacobians cannot produce ascent directions; the
-            # value recursion itself uses the unregularized quantities.
-            vxx_r = vxx + reg * jnp.eye(nx)
-            quu_r = luu_t + fu_t.T @ vxx_r @ fu_t + reg * jnp.eye(nu)
-            qux_r = lux_t + fu_t.T @ vxx_r @ fx_t
-            quu = luu_t + fu_t.T @ vxx @ fu_t
-            qux = lux_t + fu_t.T @ vxx @ fx_t
-            k = -solve_psd(quu_r, qu)
-            K = -_solve_psd_mat(quu_r, qux_r)
-            vx_new = qx + K.T @ quu @ k + K.T @ qu + qux.T @ k
-            vxx_new = qxx + K.T @ quu @ K + K.T @ qux + qux.T @ K
-            vxx_new = 0.5 * (vxx_new + vxx_new.T)
-            return (vx_new, vxx_new), (k, K)
-
-        (_, _), (ks, Ks) = jax.lax.scan(
-            bstep, (vx_T, vxx_T), (fx, fu, lx, lu, lxx, luu, lux), reverse=True
-        )
-        return ks, Ks
+        # Packed-Q recursion (mpc/riccati.lqr_backward): F = [fx fu],
+        # J = L + F.T Vxx F — two batched matmuls instead of six. Tassa-style
+        # state regularization: gains computed with (Vxx + mu I) so
+        # indefinite Vxx (quaternion cost curvature) and stiff-contact
+        # Jacobians cannot produce ascent directions; the value recursion
+        # itself uses the unregularized quantities.
+        return riccati.lqr_backward(fx, fu, lx, lu, lxx, luu, lux,
+                                    vx_T, vxx_T, reg=reg)
 
     def forward(xs, us, ks, Ks, alpha):
         def fstep(x, inp):

@@ -1,0 +1,68 @@
+"""Sequential LQR/iLQR backward pass (single trajectory; vmap for batches).
+
+Packed formulation: with F = [fx fu] (nx, nx+nu) and the stage-cost Hessian
+L = [[lxx, lux.T], [lux, luu]], the full Q-matrix at a knot is
+
+    J = L + F.T Vxx F        (one nx-contraction matmul pair)
+    g = [lx; lu] + F.T vx
+
+instead of the six separate qxx/quu/qux/... products of the classic
+per-block recursion. On TPU the classic blocks (nx=37, nu=12 for Go2) run
+as batched matmuls at ~2% MXU utilization because every operand pads to a
+128x128 tile; packing to (nx+nu)-sized operands and contracting the value
+update through Z = [[I], [K]] (J @ Z = J[:, :nx] + J[:, nx:] @ K, an
+nu-sized contraction) measured ~3x faster at S=1024. Gains come from ONE
+Cholesky factorization of Quu_r with [qu | Qux_r] as a (1+nx)-column RHS
+(algebra.solve_psd_multi) instead of a per-column vmapped solve.
+
+Regularization is Tassa-style: gains use (Vxx + reg I) and an extra reg I
+on Quu; the value recursion uses the unregularized J. Identical math to the
+classic recursion — tested term-for-term in tests/test_ilqr_fd.py.
+
+Reference capability: rsl_rl has no trajectory optimizer; this is the
+backward pass of the MPC north-star engine (BASELINE.json), the sequential
+counterpart of mpc/pscan_riccati.lqr_gains_associative.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hcr_genesis_lr_cl_tpu.physics.algebra import solve_psd_multi
+
+
+def lqr_backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT, reg: float = 0.0):
+    """One trajectory: fx (T,nx,nx), fu (T,nx,nu), l* stage derivatives,
+    vxT/vxxT terminal value expansion. Returns ks (T,nu), Ks (T,nu,nx)."""
+    nx = fx.shape[-1]
+    nu = fu.shape[-1]
+    eye_u = jnp.eye(nu)
+
+    def bstep(carry, inp):
+        vx, vxx = carry
+        fx_t, fu_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        F = jnp.concatenate([fx_t, fu_t], axis=1)  # (nx, nz)
+        Lm = jnp.concatenate([
+            jnp.concatenate([lxx_t, lux_t.T], axis=1),
+            jnp.concatenate([lux_t, luu_t], axis=1),
+        ], axis=0)  # (nz, nz)
+        J = Lm + F.T @ (vxx @ F)
+        g = jnp.concatenate([lx_t, lu_t]) + F.T @ vx  # (nz,)
+        Pu = fu_t.T @ F  # (nu, nz): [fu.T fx | fu.T fu]
+        quu_r = J[nx:, nx:] + reg * (Pu[:, nx:] + eye_u)
+        qux_r = J[nx:, :nx] + reg * Pu[:, :nx]
+        rhs = jnp.concatenate([g[nx:, None], qux_r], axis=1)
+        sol = -solve_psd_multi(quu_r, rhs)  # (nu, 1+nx)
+        k, K = sol[:, 0], sol[:, 1:]
+        Ju = J[:, nx:]  # (nz, nu)
+        JZ = J[:, :nx] + Ju @ K  # J @ [[I],[K]]
+        vxx_n = JZ[:nx] + K.T @ JZ[nx:]
+        vec = g + Ju @ k
+        vx_n = vec[:nx] + K.T @ vec[nx:]
+        return (vx_n, 0.5 * (vxx_n + vxx_n.T)), (k, K)
+
+    (_, _), (ks, Ks) = jax.lax.scan(
+        bstep, (vxT, vxxT), (fx, fu, lx, lu, lxx, luu, lux), reverse=True
+    )
+    return ks, Ks

@@ -137,6 +137,45 @@ def solve_psd(A, b):
 solve6_psd = solve_psd
 
 
+def solve_psd_multi(A, B):
+    """Solve A X = B for small SPD A (..., n, n) and matrix RHS B (..., n, m).
+
+    One unrolled Cholesky factorization shared across all m right-hand sides;
+    the substitution sweeps run on (..., m)-wide rows. This replaces the
+    "vmap solve_psd over RHS columns" pattern, which re-emitted the whole
+    factorization per column (the iLQR backward's K-gain solve went from the
+    single hottest op to noise after this change).
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L Y = B; rows are (..., m) vectors
+    y = [None] * n
+    for i in range(n):
+        s = B[..., i, :]
+        for k in range(i):
+            s = s - L[i][k][..., None] * y[k]
+        y[i] = s / L[i][i][..., None]
+    # back substitution L^T X = Y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i][..., None] * x[k]
+        x[i] = s / L[i][i][..., None]
+    return jnp.stack(x, axis=-2)
+
+
 def spatial_inertia(mass, com, inertia_com):
     """Build the 6x6 spatial inertia of a body about its frame origin.
 

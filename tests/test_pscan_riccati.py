@@ -53,6 +53,47 @@ def _random_lqr(key, T=20, nx=7, nu=3):
     return fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT
 
 
+class TestPackedSequentialRiccati:
+    """mpc/riccati.lqr_backward (packed F=[fx fu] form, used by ilqr and
+    ilqr_fd) == the classic per-block recursion, including at reg > 0."""
+
+    def test_matches_classic_reg0(self):
+        from hcr_genesis_lr_cl_tpu.mpc import riccati
+
+        prob = _random_lqr(jax.random.PRNGKey(1))
+        ks_c, Ks_c = jax.jit(_sequential_gains)(*prob)
+        ks_p, Ks_p = jax.jit(riccati.lqr_backward)(*prob)
+        np.testing.assert_allclose(np.asarray(ks_p), np.asarray(ks_c),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Ks_p), np.asarray(Ks_c),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_matches_classic_reg(self):
+        from hcr_genesis_lr_cl_tpu.mpc import riccati
+
+        prob = _random_lqr(jax.random.PRNGKey(2), T=30, nx=9, nu=4)
+        ks_c, Ks_c = jax.jit(lambda *a: _sequential_gains(*a, reg=0.5))(*prob)
+        ks_p, Ks_p = jax.jit(lambda *a: riccati.lqr_backward(*a, reg=0.5))(*prob)
+        np.testing.assert_allclose(np.asarray(ks_p), np.asarray(ks_c),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Ks_p), np.asarray(Ks_c),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_vmapped_batch(self):
+        from hcr_genesis_lr_cl_tpu.mpc import riccati
+
+        probs = [_random_lqr(jax.random.PRNGKey(10 + i)) for i in range(3)]
+        batched = jax.tree.map(lambda *a: jnp.stack(a), *probs)
+        bw = jax.jit(jax.vmap(lambda *a: riccati.lqr_backward(*a, reg=0.1)))
+        ks_b, Ks_b = bw(*batched)
+        for i, p in enumerate(probs):
+            ks_i, Ks_i = _sequential_gains(*p, reg=0.1)
+            np.testing.assert_allclose(np.asarray(ks_b[i]), np.asarray(ks_i),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(Ks_b[i]), np.asarray(Ks_i),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestAssociativeRiccati:
     def test_matches_sequential_reg0(self):
         prob = _random_lqr(jax.random.PRNGKey(0))
