@@ -6,9 +6,9 @@ Headline metric (BASELINE.json): MPC solves/sec/chip — Go2, 4096 batched
 domain-randomized scenarios, horizon T=50, FD-kernel iLQR (2 iterations,
 parallel line search; finite-difference linearization through the fused
 Pallas control-step kernel — ~38x the autodiff path at equal-or-better
-final cost), scenario-chunked dispatch. `vs_baseline` is the real-time
-factor against the 20 ms (50 Hz) control budget (1.0 == one batched
-4096-scenario solve per control tick).
+final cost; packed-Q Riccati backward, mpc/riccati.py), scenario-chunked
+dispatch. `vs_baseline` is the real-time factor against the 20 ms (50 Hz)
+control budget (1.0 == one batched 4096-scenario solve per control tick).
 
 Secondary lines (prefixed '#'): solve latency percentiles and PPO training
 throughput (env steps/s — the reference's own figure of merit,
@@ -47,9 +47,13 @@ def bench_training(num_envs=4096, iters=5):
 def main():
     num_scenarios = int(os.environ.get("BENCH_MPC_SCENARIOS", 4096))
     horizon = int(os.environ.get("BENCH_MPC_HORIZON", 50))
-    # iters=3 with a single linearization (relin_every=3) measured both
-    # faster AND lower-cost than iters=2 with per-iteration FD on v5e
-    n_iters = int(os.environ.get("BENCH_MPC_ITERS", 3))
+    # sweep on v5e (2026-08-18, after the packed-Q backward): convergence
+    # saturates after 2 iterations when the FD Jacobians are strided
+    # (cost 110.69 at i2 vs 110.53 at i3 vs 110.49 at i4), so i2 + one
+    # linearization + lin_stride=5 is the knee of the time/cost frontier:
+    # 535 ms vs 1073 ms for stride1-i3 (cost 109.24) and 1444 ms for the
+    # pre-backward-rewrite default
+    n_iters = int(os.environ.get("BENCH_MPC_ITERS", 2))
     n_solves = int(os.environ.get("BENCH_MPC_SOLVES", 2))
     relin_every = int(os.environ.get("BENCH_MPC_RELIN", n_iters))
     # training bench runs FIRST: the MPC solves' argmin selections used to
@@ -68,16 +72,21 @@ def main():
             num_scenarios=num_scenarios, horizon=horizon, n_solves=n_solves,
             n_iters=n_iters,
             # chunked sequential dispatch measured FASTER than one monolithic
-            # full-batch solve (1434 vs 1630 ms): the 4 chunk executions
-            # pipeline host-side dispatch against device compute on the
-            # tunnel, which outweighs the better per-step batch utilization
-            scenario_chunk=int(os.environ.get("BENCH_MPC_CHUNK", 1024)),
+            # full-batch solve (535 ms at chunk=512 vs 808 ms at 2048 and
+            # 1327 ms at 4096): the chunk executions pipeline host-side
+            # dispatch (~35 ms/execute on the tunnel) against device compute,
+            # which outweighs the better per-step batch utilization
+            scenario_chunk=int(os.environ.get("BENCH_MPC_CHUNK", 512)),
             # block_b=2048 measured fastest on v5e; >=4096 trips the remote
             # compiler
             block_b=int(os.environ.get("BENCH_MPC_BLOCK", 2048)),
             relin_every=relin_every,
             lin_chunks=int(os.environ.get("BENCH_MPC_LIN_CHUNKS", 1)),
-            lin_stride=int(os.environ.get("BENCH_MPC_LIN_STRIDE", 1)),
+            # Jacobians shared across groups of 5 adjacent knots (FD rows /5);
+            # costs ~1.3% final cost vs stride=1 (contact-transition knots),
+            # guarded by the line search — see BENCH_MPC_LIN_STRIDE=1 for the
+            # full-quality configuration
+            lin_stride=int(os.environ.get("BENCH_MPC_LIN_STRIDE", 5)),
         )
         print(
             f"# mpc p50 {r['p50_ms']:.0f} ms, p99 {r['p99_ms']:.0f} ms per solve "

@@ -144,7 +144,7 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
 def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
                       use_gait=False, substeps=4, scenario_chunk=1024,
                       block_b=512, relin_every=1, lin_chunks=1, lin_stride=1,
-                      alphas=(1.0, 0.1, 0.01)):
+                      alphas=(1.0, 0.1, 0.01), backward_matmul_dtype=None):
     """BASELINE configs 1/2 via the FD-kernel solver (ilqr_fd): linearization
     is S*T*(nx+nu+1) forward passes through the fused Pallas control-step
     kernel in one dispatch instead of jacfwd through the XLA dynamics."""
@@ -157,7 +157,8 @@ def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
     solve = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=n_iters,
                                    block_b=block_b, relin_every=relin_every,
                                    lin_chunks=lin_chunks, lin_stride=lin_stride,
-                                   alphas=alphas)
+                                   alphas=alphas,
+                                   backward_matmul_dtype=backward_matmul_dtype)
 
     def solver(x0, params, u0):
         resh = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])

@@ -37,7 +37,8 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    alphas=(1.0, 0.1, 0.01), block_b: int = 512,
                    interpret: bool = False, eps: float = 1e-3,
                    dyn_override=None, relin_every: int = 1,
-                   lin_chunks: int = 1, lin_stride: int = 1):
+                   lin_chunks: int = 1, lin_stride: int = 1,
+                   backward_matmul_dtype=None):
     T = horizon
     nx = mdyn.nx(mm.model)
     nu = mm.model.nj
@@ -117,7 +118,8 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         scenarios — the classic per-block form ran the 37-dim batched
         matmuls at ~2% MXU utilization and was the solve's hottest stage.
         """
-        bw = lambda *a: riccati.lqr_backward(*a, reg=reg)
+        bw = lambda *a: riccati.lqr_backward(
+            *a, reg=reg, matmul_dtype=backward_matmul_dtype)
         return jax.vmap(bw)(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
 
     def forward_all(params, x0, xs, us, ks, Ks):

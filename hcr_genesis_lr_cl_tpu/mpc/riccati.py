@@ -32,12 +32,22 @@ import jax.numpy as jnp
 from hcr_genesis_lr_cl_tpu.physics.algebra import solve_psd_multi
 
 
-def lqr_backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT, reg: float = 0.0):
+def lqr_backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT, reg: float = 0.0,
+                 matmul_dtype=None):
     """One trajectory: fx (T,nx,nx), fu (T,nx,nu), l* stage derivatives,
-    vxT/vxxT terminal value expansion. Returns ks (T,nu), Ks (T,nu,nx)."""
+    vxT/vxxT terminal value expansion. Returns ks (T,nu), Ks (T,nu,nx).
+
+    matmul_dtype=jnp.bfloat16 runs the two nx-contraction products in bf16
+    with f32 accumulation. Measured on Go2 stiff-contact solves this is a
+    false economy: |Vxx| reaches ~1e7 near contact, bf16's 8-bit mantissa
+    leaves absolute errors ~1e3 in J, and the line search rejects every
+    candidate (cost trace flat at the initial cost for ~10% time saved).
+    Keep the default f32 unless the problem's value curvature is tame.
+    """
     nx = fx.shape[-1]
     nu = fu.shape[-1]
     eye_u = jnp.eye(nu)
+    cast = (lambda a: a.astype(matmul_dtype)) if matmul_dtype else (lambda a: a)
 
     def bstep(carry, inp):
         vx, vxx = carry
@@ -47,7 +57,9 @@ def lqr_backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT, reg: float = 0.0):
             jnp.concatenate([lxx_t, lux_t.T], axis=1),
             jnp.concatenate([lux_t, luu_t], axis=1),
         ], axis=0)  # (nz, nz)
-        J = Lm + F.T @ (vxx @ F)
+        Fc = cast(F)
+        W = jax.lax.dot(cast(vxx), Fc, preferred_element_type=jnp.float32)
+        J = Lm + jax.lax.dot(Fc.T, cast(W), preferred_element_type=jnp.float32)
         g = jnp.concatenate([lx_t, lu_t]) + F.T @ vx  # (nz,)
         Pu = fu_t.T @ F  # (nu, nz): [fu.T fx | fu.T fu]
         quu_r = J[nx:, nx:] + reg * (Pu[:, nx:] + eye_u)
