@@ -25,12 +25,17 @@ from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
 from hcr_genesis_lr_cl_tpu.ops.substep_kernel import make_pallas_control_step
 
 
-def make_kernel_dyn(mm: mdyn.MpcModel, block_b: int = 512, interpret: bool = False):
+def make_kernel_dyn(mm: mdyn.MpcModel, block_b: int = 512, interpret: bool = False,
+                    substeps: int | None = None):
     """Batched dynamics X (B, nx), U_topo (B, nu) -> X' via the fused kernel.
 
-    B must be padded to a multiple of block_b by the caller (pad_batch)."""
+    B must be padded to a multiple of block_b by the caller (pad_batch).
+    `substeps=s` builds a TRUNCATED step of s substeps at the model's
+    substep size dt/substeps (s = mm.substeps reproduces the full control
+    step) — the FD substep-chain linearization uses s=1."""
+    s = mm.substeps if substeps is None else substeps
     sim = SimCfg(
-        dt=mm.dt, substeps=mm.substeps,
+        dt=mm.dt * s / mm.substeps, substeps=s,
         contact_stiffness=mm.contact_stiffness, contact_damping=mm.contact_damping,
         contact_friction_vel=mm.contact_friction_vel,
         joint_limit_stiffness=mm.joint_limit_stiffness,
@@ -90,6 +95,47 @@ def fd_linearize(dyn_batch, xs, us, eps_x: float = 1e-3, eps_u: float = 1e-3):
     fu = (out[:, 1 + nx :] - f0[:, None, :]) / eps_u
     # transpose to Jacobian convention: [out_dim, in_dim]
     return f0, jnp.swapaxes(fx, -1, -2), jnp.swapaxes(fu, -1, -2)
+
+
+def compose_substeps(A_s, B_s, n_sub: int):
+    """Full-step Jacobians from single-substep ones by chain rule.
+
+    With the control step = n_sub applications of the substep map at the
+    SAME (start-of-step) linearization A_s, B_s — controls (PD targets) are
+    held constant across substeps — the composition is
+
+        A_full = A_s^n,   B_full = (I + A_s + ... + A_s^{n-1}) B_s
+
+    computed by binary doubling (log2(n) batched MXU matmuls).
+
+    NEGATIVE RESULT — kept as a documented dead end, not used by the solver:
+    the idea was to cut the FD linearization stage ~n_sub x by differencing
+    one substep instead of the full step. It is unsound for stiff contact:
+    the INSTANTANEOUS substep Jacobian at a standing Go2 state has spectral
+    radius ~48 (explicit substep of a penalty contact at h=5 ms), so A_s^4
+    has radius ~5e6, while the full-step eps-SECANT Jacobian (what FD over
+    the whole step measures, and what iLQR needs) has radius ~30 — the
+    velocity-capped contact force saturates real perturbations, which no
+    product of start-point linearizations can represent. Measured end to
+    end, the line search rejects every candidate and the solver stalls at
+    the initial cost. FD through the full control step is therefore the
+    design (ilqr_fd.fd_jac), and the stage was cheap anyway at lin_stride=5
+    (~13 ms of a ~520 ms solve).
+    """
+    eye = jnp.broadcast_to(jnp.eye(A_s.shape[-1]), A_s.shape)
+
+    def powsum(n):
+        # (A_s^n, I + A_s + ... + A_s^{n-1})
+        if n == 1:
+            return A_s, eye
+        if n % 2 == 0:
+            Ah, Sh = powsum(n // 2)
+            return Ah @ Ah, Sh + Ah @ Sh
+        Ap, Sp = powsum(n - 1)
+        return A_s @ Ap, Sp + Ap
+
+    A_full, S = powsum(n_sub)
+    return A_full, S @ B_s
 
 
 def pad_batch(x, multiple):

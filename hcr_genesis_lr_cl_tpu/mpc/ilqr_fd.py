@@ -45,6 +45,19 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
     uidx = jnp.asarray(mm.model.user_dof_idx)
     dyn_batch = (dyn_override if dyn_override is not None
                  else fdy.make_kernel_dyn(mm, block_b=block_b, interpret=interpret))
+    def fd_jac(flat_x, flat_u):
+        """Full-step FD Jacobians (fx, fu_topo) for flat (M,nx)/(M,nu) rows.
+
+        The full control step is the right FD unit: its eps-secant Jacobian
+        stays tame through stiff contact (spectral radius ~30 for standing
+        Go2), whereas composing single-substep instantaneous Jacobians by
+        chain rule (fast_dynamics.compose_substeps) explodes — the substep
+        Jacobian has radius ~48 at contact and its 4th power (~5e6) bears no
+        relation to the true secant; measured: the line search then rejects
+        every candidate and the solver cannot descend at all."""
+        _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u,
+                                     eps_x=eps, eps_u=eps)
+        return fx, fu
     # no alpha=0 candidate: the acceptance check (cost_n < best_cost, else
     # keep the old trajectory) already provides the zero-step fallback, and
     # measured on v5e the extra candidate nearly doubled per-iteration time
@@ -194,8 +207,7 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                 us_k = us[:, knot_idx]
                 flat_x = xs_k.reshape(S * Ts, nx)
                 flat_u = to_topo(us_k.reshape(S * Ts, nu))
-                _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u,
-                                             eps_x=eps, eps_u=eps)
+                fx, fu = fd_jac(flat_x, flat_u)
                 fx = jnp.repeat(fx.reshape(S, Ts, nx, nx), lin_stride,
                                 axis=1)[:, :T]
                 fu = jnp.repeat(fu.reshape(S, Ts, nx, nu), lin_stride,
@@ -210,9 +222,7 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                 # at the full scenario batch (the T-sequential forward scans
                 # are latency-bound per step, so a bigger batch there is free)
                 def one(args):
-                    _, fx_c, fu_c = fdy.fd_linearize(dyn_batch, *args,
-                                                     eps_x=eps, eps_u=eps)
-                    return fx_c, fu_c
+                    return fd_jac(*args)
                 M = S * T
                 resh = lambda a: a.reshape((lin_chunks, M // lin_chunks)
                                            + a.shape[1:])
@@ -220,8 +230,7 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                 fx = fx.reshape(M, nx, nx)
                 fu = fu.reshape(M, nx, nu)
             else:
-                _, fx, fu = fdy.fd_linearize(dyn_batch, flat_x, flat_u,
-                                             eps_x=eps, eps_u=eps)
+                fx, fu = fd_jac(flat_x, flat_u)
             # fu columns are w.r.t. topo-order controls; permute to user order
             return (fx.reshape(S, T, nx, nx),
                     fu.reshape(S, T, nx, nu)[..., uidx])

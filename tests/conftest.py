@@ -15,6 +15,11 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite is dominated by XLA compile time
+# (hundreds of distinct jitted programs); repeat runs hit the cache instead
+jax.config.update("jax_compilation_cache_dir", "/tmp/hcr_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 
 def pytest_configure(config):

@@ -117,6 +117,44 @@ class TestFdSolver:
         assert np.all(trace[:, -1] <= trace[:, 0] + 1e-4)
         assert float(trace[:, -1].mean()) < 0.99 * float(trace[:, 0].mean())
 
+    def test_compose_substeps_linear_exact(self):
+        """For a truly linear map, the chain-rule composition is exact:
+        rolling n substeps of x' = A x + B u must have Jacobians
+        (A^n, (I+...+A^{n-1})B)."""
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(0.3 * rng.standard_normal((2, 5, 5)), jnp.float32)
+        B = jnp.asarray(rng.standard_normal((2, 5, 3)), jnp.float32)
+        A4, S4B = fdy.compose_substeps(A, B, 4)
+        A3, S3B = fdy.compose_substeps(A, B, 3)
+        for n, (An, SnB) in ((4, (A4, S4B)), (3, (A3, S3B))):
+            An_ref = A
+            Sn_ref = jnp.broadcast_to(jnp.eye(5), A.shape)
+            for _ in range(n - 1):
+                Sn_ref = Sn_ref + An_ref
+                An_ref = An_ref @ A
+            np.testing.assert_allclose(np.asarray(An), np.asarray(An_ref),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(SnB), np.asarray(Sn_ref @ B),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_sub_chain_secant_mismatch_at_contact(self):
+        """Documents WHY the solver does not use substep-chain Jacobians
+        (fast_dynamics.compose_substeps docstring): at a standing (in-
+        contact) state the composed instantaneous Jacobian wildly over-
+        amplifies vs the full-step FD secant that iLQR actually needs."""
+        env, mm = mb.make_go2_mpc(substeps=4)
+        mm_sub = mm._replace(dt=mm.dt / mm.substeps, substeps=1)
+        x0, _ = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
+        u_topo = jnp.zeros((2, 12))
+        _, fx_full, _ = jax.jit(
+            lambda x, u: fdy.fd_linearize(_xla_dyn(env, mm), x, u))(x0, u_topo)
+        _, A_s, B_s = jax.jit(
+            lambda x, u: fdy.fd_linearize(_xla_dyn(env, mm_sub), x, u))(x0, u_topo)
+        fx_c, _ = fdy.compose_substeps(A_s, B_s, 4)
+        full_amp = float(np.abs(np.asarray(fx_full)).max())
+        chain_amp = float(np.abs(np.asarray(fx_c)).max())
+        assert chain_amp > 100.0 * full_amp  # measured ~1e4x
+
     def test_fd_solver_descends(self):
         """End-to-end descent through the interpreted Pallas kernel.
 
