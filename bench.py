@@ -47,12 +47,12 @@ def bench_training(num_envs=4096, iters=5):
 def main():
     num_scenarios = int(os.environ.get("BENCH_MPC_SCENARIOS", 4096))
     horizon = int(os.environ.get("BENCH_MPC_HORIZON", 50))
-    # sweep on v5e (2026-08-18, after the packed-Q backward): convergence
-    # saturates after 2 iterations when the FD Jacobians are strided
-    # (cost 110.69 at i2 vs 110.53 at i3 vs 110.49 at i4), so i2 + one
-    # linearization + lin_stride=5 is the knee of the time/cost frontier:
-    # 535 ms vs 1073 ms for stride1-i3 (cost 109.24) and 1444 ms for the
-    # pre-backward-rewrite default
+    # sweep on v5e (2026-08-18, second pass): ONE Jacobian per trajectory
+    # (lin_stride=50) beats stride 5 on BOTH axes — 478 ms vs 546 ms AND
+    # final cost 109.40 vs 110.76 (the start-knot secant Jacobian repeated
+    # along the horizon evidently regularizes the backward pass for this
+    # contact-stationary initial trajectory); chunk=1024 shaves another
+    # ~15 ms (464 ms). i3 variants reach 108.7-109.2 but cost ~220 ms more.
     n_iters = int(os.environ.get("BENCH_MPC_ITERS", 2))
     n_solves = int(os.environ.get("BENCH_MPC_SOLVES", 2))
     relin_every = int(os.environ.get("BENCH_MPC_RELIN", n_iters))
@@ -72,21 +72,21 @@ def main():
             num_scenarios=num_scenarios, horizon=horizon, n_solves=n_solves,
             n_iters=n_iters,
             # chunked sequential dispatch measured FASTER than one monolithic
-            # full-batch solve (535 ms at chunk=512 vs 808 ms at 2048 and
+            # full-batch solve (464 ms at chunk=1024 vs 808 ms at 2048 and
             # 1327 ms at 4096): the chunk executions pipeline host-side
             # dispatch (~35 ms/execute on the tunnel) against device compute,
             # which outweighs the better per-step batch utilization
-            scenario_chunk=int(os.environ.get("BENCH_MPC_CHUNK", 512)),
+            scenario_chunk=int(os.environ.get("BENCH_MPC_CHUNK", 1024)),
             # block_b=2048 measured fastest on v5e; >=4096 trips the remote
             # compiler
             block_b=int(os.environ.get("BENCH_MPC_BLOCK", 2048)),
             relin_every=relin_every,
             lin_chunks=int(os.environ.get("BENCH_MPC_LIN_CHUNKS", 1)),
-            # Jacobians shared across groups of 5 adjacent knots (FD rows /5);
-            # costs ~1.3% final cost vs stride=1 (contact-transition knots),
-            # guarded by the line search — see BENCH_MPC_LIN_STRIDE=1 for the
-            # full-quality configuration
-            lin_stride=int(os.environ.get("BENCH_MPC_LIN_STRIDE", 5)),
+            # one FD Jacobian per trajectory, repeated along the horizon
+            # (measured better final cost AND faster than stride 5 — see
+            # sweep note above); BENCH_MPC_LIN_STRIDE=1 is the full-quality
+            # per-knot configuration
+            lin_stride=int(os.environ.get("BENCH_MPC_LIN_STRIDE", 50)),
         )
         print(
             f"# mpc p50 {r['p50_ms']:.0f} ms, p99 {r['p99_ms']:.0f} ms per solve "
