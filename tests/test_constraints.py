@@ -1,0 +1,67 @@
+"""Constraints-as-Terminations machinery tests.
+
+Checks the functional rewrite of the reference's ConstraintManager
+(`legged_gym/utils/constraint_manager.py:43-71`): Polyak-averaged running max,
+min_p->max_p probability scaling with normalized violation, max-combine across
+constraints, and per-constraint active-fraction telemetry.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.utils.constraints import update_constraints
+
+
+def test_zero_violation_zero_prob():
+    v = {"torque": jnp.zeros(8), "collision": jnp.zeros(8)}
+    prob, rm, fracs = update_constraints(
+        v, {"torque": 0.25, "collision": 1.0}, jnp.ones(2), tau=0.95, min_p=0.0)
+    assert jnp.all(prob == 0.0)
+    assert fracs["cstr_torque"] == 0.0 and fracs["cstr_collision"] == 0.0
+
+
+def test_polyak_running_max():
+    """rm' = tau*rm + (1-tau)*batch_max (constraint_manager.py:43-51)."""
+    v = {"a": jnp.array([0.0, 2.0, 1.0])}
+    _, rm, _ = update_constraints(v, {"a": 1.0}, jnp.array([4.0]), tau=0.9, min_p=0.0)
+    np.testing.assert_allclose(float(rm[0]), 0.9 * 4.0 + 0.1 * 2.0, rtol=1e-6)
+
+
+def test_prob_scales_min_to_max():
+    """p = min_p + clip(v/rm, 0, 1)*(max_p - min_p) for violated envs."""
+    rm0 = jnp.array([1.0])
+    v = {"a": jnp.array([0.0, 0.5, 1.0, 5.0])}
+    tau = 1.0  # freeze rm at 1.0 so the scaling is exact
+    prob, _, fracs = update_constraints(v, {"a": 0.25}, rm0, tau=tau, min_p=0.05)
+    np.testing.assert_allclose(
+        np.asarray(prob), [0.0, 0.05 + 0.5 * 0.2, 0.25, 0.25], atol=1e-6)
+    assert float(fracs["cstr_a"]) == 0.75  # 3 of 4 envs violating
+
+
+def test_max_combine_across_constraints():
+    """Termination prob is the max over constraints (get_probs :67-71)."""
+    rm0 = jnp.array([1.0, 1.0])  # sorted names: ["hard", "soft"]
+    v = {"soft": jnp.array([1.0, 0.0]), "hard": jnp.array([0.5, 1.0])}
+    prob, _, _ = update_constraints(
+        v, {"soft": 0.25, "hard": 1.0}, rm0, tau=1.0, min_p=0.0)
+    # env0: max(soft 0.25, hard 0.5) = 0.5; env1: hard 1.0
+    np.testing.assert_allclose(np.asarray(prob), [0.5, 1.0], atol=1e-6)
+
+
+def test_running_max_ordering_is_sorted_names():
+    """The Polyak state vector is ordered by sorted constraint name."""
+    rm0 = jnp.array([10.0, 1.0])  # ["a", "b"]
+    v = {"b": jnp.array([4.0]), "a": jnp.array([2.0])}
+    _, rm, _ = update_constraints(v, {"a": 1.0, "b": 1.0}, rm0, tau=0.5, min_p=0.0)
+    np.testing.assert_allclose(np.asarray(rm), [0.5 * 10 + 0.5 * 2,
+                                                0.5 * 1 + 0.5 * 4], atol=1e-6)
+
+
+def test_cat_reward_discount_semantics():
+    """The CaT task discounts reward by (1 - termination prob)
+    (go2_cat.py:217-238): spot-check the composition used by the env."""
+    rm0 = jnp.array([1.0])
+    v = {"a": jnp.array([0.0, 1.0])}
+    prob, _, _ = update_constraints(v, {"a": 0.5}, rm0, tau=1.0, min_p=0.0)
+    rew = jnp.array([2.0, 2.0]) * (1.0 - prob)
+    np.testing.assert_allclose(np.asarray(rew), [2.0, 1.0], atol=1e-6)

@@ -1,0 +1,75 @@
+"""System-identification tests (runtime/sysid.py).
+
+The reference's Monte-Carlo search (`go2_sysid.py:19-149`) replays recorded
+200 Hz position targets through the sim and reports the argmin-L2 parameters.
+Here the search is one jit (vmap over samples x scan over the log); these
+tests check the replay metric is discriminative and the search identifies
+the better parameter region on synthetic data.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.runtime import sysid
+
+
+def _model():
+    from hcr_genesis_lr_cl_tpu.envs import registry
+
+    return registry.make_env("go2", num_envs=1).model
+
+
+def test_synthetic_log_shapes():
+    q_real, q_des = sysid.synthetic_motor_log(T=100, num_dofs=12)
+    assert q_real.shape == (100, 12) and q_des.shape == (100, 12)
+    assert np.isfinite(q_real).all() and np.isfinite(q_des).all()
+
+
+def test_replay_metric_finite_and_discriminative():
+    model = _model()
+    q_real, q_des = sysid.synthetic_motor_log(T=120)
+    q_real, q_des = jnp.asarray(q_real), jnp.asarray(q_des)
+    m = lambda damping: float(sysid.replay_metric(
+        model, q_real, q_des, kp=20.0, kd=0.5,
+        damping=damping, friction=0.02, armature=0.02))
+    m_lo, m_hi = m(0.05), m(5.0)
+    assert np.isfinite(m_lo) and np.isfinite(m_hi)
+    # heavy extra damping makes the sim lag the chirp much more
+    assert m_hi > m_lo * 1.2
+
+
+def test_replay_metric_delay_steps():
+    model = _model()
+    q_real, q_des = sysid.synthetic_motor_log(T=120)
+    v = sysid.replay_metric(model, jnp.asarray(q_real), jnp.asarray(q_des),
+                            kp=20.0, kd=0.5, damping=0.1, friction=0.02,
+                            armature=0.02, delay_steps=2)
+    assert np.isfinite(float(v))
+
+
+def test_run_sysid_picks_argmin():
+    model = _model()
+    q_real, q_des = sysid.synthetic_motor_log(T=150)
+    best = sysid.run_sysid(model, q_real, q_des, n_samples=8,
+                           key=jax.random.PRNGKey(0))
+    assert best["metric"] <= best["metric_mean"] + 1e-6
+    assert sysid.DAMPING_RANGE[0] <= best["damping"] <= sysid.DAMPING_RANGE[1]
+    assert sysid.FRICTION_RANGE[0] <= best["friction"] <= sysid.FRICTION_RANGE[1]
+    assert sysid.ARMATURE_RANGE[0] <= best["armature"] <= sysid.ARMATURE_RANGE[1]
+
+
+def test_load_motor_log_reference_csv():
+    """When the real 200 Hz Go2 log is mounted, parse it and sanity-check."""
+    import os
+
+    if not os.path.exists(sysid.DEFAULT_CSV):
+        import pytest
+
+        pytest.skip("reference motor log not mounted")
+    q_real, q_des = sysid.load_motor_log(sysid.DEFAULT_CSV)
+    assert q_real.shape[1] == 12 and q_des.shape == q_real.shape
+    assert q_real.shape[0] > 100
+    assert np.isfinite(q_real).all()
+    # desired vs measured positions track within joint-range magnitudes
+    assert np.abs(q_real - q_des).max() < 3.0

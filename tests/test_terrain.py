@@ -1,0 +1,228 @@
+"""Terrain generator + TerrainField query tests.
+
+Covers the capability surface of the reference's terrain stack
+(`legged_gym/utils/terrain_utils.py` primitives, `utils/terrain.py` curriculum
+grid) and the on-device heightfield queries that replace the reference's
+Genesis/IsaacGym height probes (genesis_simulator.py:552-610).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
+from hcr_genesis_lr_cl_tpu.terrain import generators as tg
+from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField
+
+
+def small_cfg(**kw):
+    base = dict(
+        mesh_type="heightfield",
+        num_rows=2,
+        num_cols=4,
+        terrain_length=3.0,
+        terrain_width=3.0,
+        border_size=1.0,
+        border_height=1.0,
+        horizontal_scale=0.1,
+        vertical_scale=0.005,
+        platform_size=1.0,
+        curriculum=True,
+    )
+    base.update(kw)
+    return TerrainCfg(**base)
+
+
+# ---- primitives ----
+
+
+def test_pyramid_stairs_descends_from_platform():
+    hs = 0.1
+    patch = np.zeros((60, 60))
+    tg.pyramid_stairs(patch, step_width=0.3, step_height=0.1, platform_size=1.0, hs=hs)
+    c = patch[30, 30]
+    assert c == 0.0  # platform at zero
+    # strictly lower moving outward along a row, in -step_height quanta
+    row = patch[30, 30:]
+    assert row.min() < -0.3
+    diffs = np.diff(row)
+    assert np.all(diffs <= 1e-9)
+    steps = np.unique(np.round(row / 0.1))
+    assert len(steps) > 3  # multiple distinct steps
+
+
+def test_gap_terrain_ring_and_platform():
+    patch = np.zeros((60, 60))
+    tg.gap_terrain(patch, gap_size=0.5, platform_size=2.0, hs=0.1, depth=-1.0)
+    assert patch[30, 30] == 0.0  # central platform
+    assert patch[30, 30 + 12] == -1.0  # inside the gap ring
+    assert patch[30, 0] == 0.0  # outside untouched
+
+
+def test_pit_terrain():
+    patch = np.zeros((60, 60))
+    tg.pit_terrain(patch, depth=0.7, platform_size=2.0, hs=0.1)
+    assert patch[30, 30] == pytest.approx(-0.7)
+    assert patch[0, 0] == 0.0
+
+
+def test_stepping_stones_platform_and_void():
+    rng = np.random.default_rng(0)
+    patch = np.zeros((60, 60))
+    tg.stepping_stones(patch, rng, stone_size=0.5, stone_distance=0.3,
+                       max_height=0.05, platform_size=1.0, hs=0.1, depth=-2.0)
+    assert np.all(patch[25:35, 25:35] == 0.0)  # flat central platform
+    assert (patch == -2.0).any()  # void between stones survives
+    stones = patch[(patch != -2.0) & (patch != 0.0)]
+    assert np.all(np.abs(stones) <= 0.05 + 1e-9)
+
+
+def test_random_uniform_bounds():
+    rng = np.random.default_rng(0)
+    patch = np.zeros((40, 40))
+    tg.random_uniform(patch, rng, min_h=-0.05, max_h=0.05, step=0.005, hs=0.1)
+    # bilinear interpolation of bounded levels stays within the bounds
+    assert patch.min() >= -0.05 - 1e-9 and patch.max() <= 0.05 + 1e-9
+    assert patch.std() > 0.0
+
+
+def test_wave_terrain_amplitude():
+    patch = np.zeros((50, 50))
+    tg.wave_terrain(patch, num_waves=2, amplitude=0.1, hs=0.1)
+    assert 0.1 < patch.max() <= 0.2 + 1e-9  # sum of two unit waves x amplitude
+    assert patch.min() < -0.1
+
+
+def test_discrete_obstacles_platform_flat():
+    rng = np.random.default_rng(0)
+    patch = np.zeros((60, 60))
+    tg.discrete_obstacles(patch, rng, max_height=0.2, min_size=0.5, max_size=1.0,
+                          num_rects=15, platform_size=1.0, hs=0.1)
+    assert np.all(patch[25:35, 25:35] == 0.0)
+    assert np.abs(patch).max() <= 0.2 + 1e-9
+    assert (patch != 0).any()
+
+
+# ---- curriculum grid ----
+
+
+def test_build_terrain_grid_shapes_and_origins():
+    cfg = small_cfg()
+    bt = tg.build_terrain(cfg, seed=0)
+    lpx = int(cfg.terrain_length / cfg.horizontal_scale)
+    wpx = int(cfg.terrain_width / cfg.horizontal_scale)
+    bpx = int(cfg.border_size / cfg.horizontal_scale)
+    assert bt.heights.shape == (cfg.num_rows * lpx + 2 * bpx,
+                                cfg.num_cols * wpx + 2 * bpx)
+    assert bt.env_origins.shape == (cfg.num_rows, cfg.num_cols, 3)
+    # origins at cell centers in world frame (origin_xy = -border)
+    assert bt.env_origins[0, 0, 0] == pytest.approx(0.5 * cfg.terrain_length)
+    assert bt.env_origins[1, 2, 1] == pytest.approx(2.5 * cfg.terrain_width)
+    # origin z sits on the local platform (finite, near terrain surface)
+    assert np.all(np.isfinite(bt.env_origins))
+
+
+def test_build_terrain_quantization_and_border():
+    cfg = small_cfg()
+    bt = tg.build_terrain(cfg, seed=0)
+    bpx = int(cfg.border_size / cfg.horizontal_scale)
+    interior = bt.heights[bpx:-bpx, bpx:-bpx]
+    q = interior / cfg.vertical_scale
+    assert np.allclose(q, np.round(q), atol=1e-4)  # int16-equivalent quanta
+    # border wall ring raised to border_height
+    assert np.all(bt.heights[: bpx // 2, :] == cfg.border_height)
+    assert np.all(bt.heights[:, -(bpx // 2):] == cfg.border_height)
+
+
+def test_build_terrain_curriculum_difficulty_monotone():
+    """Higher rows = higher difficulty: stairs rows get taller steps."""
+    cfg = small_cfg(num_rows=3, num_cols=1,
+                    terrain_proportions=(0.0, 0.0, 1.0))  # all stairs-up
+    bt = tg.build_terrain(cfg, seed=0)
+    lpx = int(cfg.terrain_length / cfg.horizontal_scale)
+    bpx = int(cfg.border_size / cfg.horizontal_scale)
+    spans = []
+    for i in range(3):
+        cell = bt.heights[bpx + i * lpx: bpx + (i + 1) * lpx, bpx:-bpx]
+        spans.append(cell.max() - cell.min())
+    assert spans[0] < spans[1] < spans[2]
+
+
+def test_build_terrain_selected_type():
+    cfg = small_cfg(selected=True, selected_type="pit",
+                    terrain_kwargs=(("depth", 0.5),), num_rows=1, num_cols=1)
+    bt = tg.build_terrain(cfg, seed=0)
+    bpx = int(cfg.border_size / cfg.horizontal_scale)
+    c = bpx + int(cfg.terrain_length / cfg.horizontal_scale) // 2
+    assert bt.heights[c, c] == pytest.approx(-0.5)
+
+
+# ---- TerrainField queries ----
+
+
+def test_field_plane_queries():
+    tf = TerrainField.plane(TerrainCfg())
+    x = jnp.array([0.0, 3.0, -7.0])
+    assert jnp.all(tf.height(x, x) == 0.0)
+    assert jnp.all(tf.height_min3(x, x) == 0.0)
+    n = tf.normal(x, x)
+    assert jnp.allclose(n, jnp.array([0.0, 0.0, 1.0]))
+    assert not bool(tf.out_of_bounds(jnp.float32(1e6), jnp.float32(0.0)))
+
+
+def test_field_height_bilinear_matches_grid():
+    cfg = small_cfg()
+    bt = tg.build_terrain(cfg, seed=0)
+    tf = TerrainField.from_built(bt, cfg)
+    hs = cfg.horizontal_scale
+    # exact grid points reproduce the stored samples
+    ii, jj = 25, 37
+    x = bt.origin_xy[0] + ii * hs
+    y = bt.origin_xy[1] + jj * hs
+    assert float(tf.height(jnp.float32(x), jnp.float32(y))) == pytest.approx(
+        float(bt.heights[ii, jj]), abs=1e-5)
+    # midpoints are the average of neighbors along the row
+    xm = bt.origin_xy[0] + (ii + 0.5) * hs
+    assert float(tf.height(jnp.float32(xm), jnp.float32(y))) == pytest.approx(
+        0.5 * float(bt.heights[ii, jj] + bt.heights[ii + 1, jj]), abs=1e-5)
+
+
+def test_field_min3_matches_direct_min():
+    """min3 = min of the 3 nearest grid samples (the reference's conservative
+    probe, genesis_simulator.py:571-577) — checked against direct lookup."""
+    cfg = small_cfg()
+    bt = tg.build_terrain(cfg, seed=0)
+    tf = TerrainField.from_built(bt, cfg)
+    hs = cfg.horizontal_scale
+    xs = np.linspace(1.0, 5.0, 50).astype(np.float32)
+    ys = np.linspace(1.0, 5.0, 50).astype(np.float32)
+    got = np.asarray(tf.height_min3(jnp.asarray(xs), jnp.asarray(ys)))
+    gx = np.floor((xs - bt.origin_xy[0]) / hs).astype(int)
+    gy = np.floor((ys - bt.origin_xy[1]) / hs).astype(int)
+    expect = np.minimum(np.minimum(bt.heights[gx, gy], bt.heights[gx + 1, gy]),
+                        bt.heights[gx, gy + 1])
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_field_normal_on_slope():
+    """Uniform slope dh/dx = s -> normal proportional to (-s, 0, 1)."""
+    cfg = small_cfg()
+    bt = tg.build_terrain(cfg, seed=0)
+    s = 0.2
+    H, W = bt.heights.shape
+    bt.heights[:] = (np.arange(H)[:, None] * cfg.horizontal_scale * s).astype(np.float32)
+    tf = TerrainField.from_built(bt, cfg)
+    n = tf.normal(jnp.float32(3.0), jnp.float32(3.0))
+    expect = np.array([-s, 0.0, 1.0]) / np.linalg.norm([-s, 0.0, 1.0])
+    assert np.allclose(np.asarray(n), expect, atol=1e-4)
+
+
+def test_field_out_of_bounds():
+    cfg = small_cfg()
+    tf = TerrainField.build(cfg, seed=0)
+    # world: x in [-1, 7] (2 rows x 3 m), y in [-1, 13] (4 cols x 3 m);
+    # margin 1 -> interior x in [0, 6], y in [0, 12]
+    assert not bool(tf.out_of_bounds(jnp.float32(3.0), jnp.float32(3.0)))
+    assert bool(tf.out_of_bounds(jnp.float32(-0.5), jnp.float32(3.0)))
+    assert bool(tf.out_of_bounds(jnp.float32(6.5), jnp.float32(3.0)))
+    assert bool(tf.out_of_bounds(jnp.float32(3.0), jnp.float32(12.5)))
