@@ -33,6 +33,11 @@ def get_args(argv=None):
                     help="skip checkpoint loading (smoke evaluation)")
     ap.add_argument("--logdir_root", default="logs")
     ap.add_argument("--out_dir", default="play_out")
+    ap.add_argument("--use_joystick", action="store_true",
+                    help="gamepad teleop: overrides commands each step "
+                         "(reference play.py:130-135)")
+    ap.add_argument("--joystick_type", default="xbox",
+                    choices=["xbox", "switch"])
     return ap.parse_args(argv)
 
 
@@ -75,6 +80,18 @@ def play(args):
         )
         print(f"exported policy: {pt} {onnx}")
 
+    joystick = None
+    if args.use_joystick:
+        from hcr_genesis_lr_cl_tpu.runtime.joystick import Joystick
+
+        try:
+            joystick = Joystick(args.joystick_type,
+                                scale=(cfg.commands.ranges.lin_vel_x[1],
+                                       cfg.commands.ranges.lin_vel_y[1],
+                                       cfg.commands.ranges.ang_vel_yaw[1]))
+        except RuntimeError as e:
+            print(f"joystick unavailable ({e}); using scripted commands")
+
     # gait tasks get the per-foot QuadLogger grid + spreadsheet export
     # (reference play.py uses QuadLogger for the WTW task)
     is_gait = "exp_C_frc" in getattr(st.env_state, "extra", {})
@@ -90,6 +107,11 @@ def play(args):
 
     env_state, bundle = st.env_state, st.bundle
     for i in range(args.steps):
+        if joystick is not None:
+            cmd = joystick.read()
+            cmds = np.asarray(env_state.commands)
+            cmds[:, :3] = cmd
+            env_state = env_state.replace(commands=jnp.asarray(cmds))
         env_state, out, actions = policy_step(env_state, bundle)
         priv = out.privileged_obs
         bundle = runner.make_bundle(out.obs, priv, out.extras)
