@@ -1,0 +1,21 @@
+import time
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+
+CONFIGS = [
+    dict(name="a=(0.1,0.01)", alphas=(0.1, 0.01)),
+    dict(name="a=(0.01,)", alphas=(0.01,)),
+    dict(name="a=(0.1,0.03,0.01)", alphas=(0.1, 0.03, 0.01)),
+    dict(name="a=(0.05,0.01)", alphas=(0.05, 0.01)),
+]
+
+for c in CONFIGS:
+    t0 = time.time()
+    r = mb.bench_go2_flat_fd(
+        num_scenarios=4096, horizon=50, n_solves=2, n_iters=2,
+        scenario_chunk=1024, relin_every=2, lin_chunks=1, lin_stride=50,
+        block_b=1024, alphas=c["alphas"],
+    )
+    print(f"{c['name']}: p50 {r['p50_ms']:.0f} ms  "
+          f"{r['solves_per_sec']:.3f} solves/s  "
+          f"cost {r['initial_cost_mean']:.2f}->{r['final_cost_mean']:.2f}  "
+          f"(total {time.time()-t0:.0f}s)", flush=True)

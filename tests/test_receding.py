@@ -1,0 +1,69 @@
+"""Receding-horizon closed-loop MPC driver tests (mpc/receding.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import receding
+
+
+def _setup(n_scen=3, horizon=5):
+    env, mm = mb.make_go2_mpc(substeps=2)
+    x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, n_scen)
+    # stationary commands: keep the closed loop near the standing fixed point
+    params = params._replace(command=jnp.zeros_like(params.command))
+    return env, mm, x0, params
+
+
+def test_tick_shapes_and_finiteness():
+    env, mm, x0, params = _setup()
+    init, tick = receding.make_receding_controller(
+        mm, mcosts.CostWeights(), horizon=5, n_iters=1, block_b=8,
+        interpret=True)
+    st = init(x0, params)
+    assert st.us.shape == (3, 5, env.model.nj)
+    st2, u = tick(st, params)
+    assert u.shape == (3, env.model.nj)
+    assert np.isfinite(np.asarray(st2.x)).all()
+    assert np.isfinite(np.asarray(st2.us)).all()
+    # the plan shifted: new tail repeats the last knot
+    np.testing.assert_allclose(np.asarray(st2.us[:, -1]),
+                               np.asarray(st2.us[:, -2]))
+
+
+def test_closed_loop_stays_upright():
+    """Warm-started 1-iter re-solves keep the standing Go2 near its height
+    target over a multi-tick closed loop (the 50 Hz deployment pattern)."""
+    env, mm, x0, params = _setup()
+    init, tick = receding.make_receding_controller(
+        mm, mcosts.CostWeights(), horizon=5, n_iters=1, block_b=8,
+        interpret=True)
+    xs, us, costs = receding.closed_loop(init, tick, x0, params, n_ticks=4)
+    assert xs.shape == (3, 5, 13 + 2 * env.model.nj)
+    assert np.isfinite(np.asarray(xs)).all()
+    z = np.asarray(xs[:, :, 6])  # base height along the loop
+    assert (z > 0.15).all() and (z < 0.5).all()  # no fall, no launch
+    # applied controls stay inside the PD-target bounds
+    from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+
+    lo, hi = mdyn.u_bounds(mm)
+    assert (np.asarray(us) >= np.asarray(lo) - 1e-5).all()
+    assert (np.asarray(us) <= np.asarray(hi) + 1e-5).all()
+
+
+def test_warm_start_cost_not_worse_than_cold_tail():
+    """After the first tick, warm-started solve cost stays finite and does
+    not blow up relative to the cold solve."""
+    env, mm, x0, params = _setup()
+    init, tick = receding.make_receding_controller(
+        mm, mcosts.CostWeights(), horizon=5, n_iters=1, block_b=8,
+        interpret=True)
+    st = init(x0, params)
+    cold_cost = np.asarray(st.cost)
+    for _ in range(2):
+        st, _ = tick(st, params)
+    warm_cost = np.asarray(st.cost)
+    assert np.isfinite(warm_cost).all()
+    assert (warm_cost < 10.0 * np.maximum(cold_cost, 1.0)).all()
