@@ -1,5 +1,7 @@
 """FD-kernel iLQR vs the autodiff solver (interpret mode)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +11,9 @@ from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
 from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
 from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
 from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+
+pytestmark = pytest.mark.slow  # FD-kernel solver paths, 13-45 s each on CPU
 
 
 class TestFdDynamics:

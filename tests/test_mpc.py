@@ -79,6 +79,7 @@ class TestGo2Mpc:
         assert float(cf.mean()) < 0.9 * float(c0.mean())  # meaningful improvement
 
 
+@pytest.mark.slow  # 20-40 s each on CPU
 class TestBaselineConfigs:
     """The five BASELINE.json MPC configs run (mini sizes) with finite costs."""
 

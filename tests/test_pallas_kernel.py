@@ -9,7 +9,11 @@ from hcr_genesis_lr_cl_tpu.ops.substep_kernel import make_pallas_engine_step
 from hcr_genesis_lr_cl_tpu.physics import engine as eng
 
 
+import pytest
+
+
 class TestPallasControlStep:
+    @pytest.mark.slow  # ~37 s on CPU (interpret-mode kernel)
     def test_matches_engine_full_control_step(self):
         env = registry.make_env("go2", num_envs=8)
         cfg = env.cfg

@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full receding-horizon solves, ~100-200 s each on CPU
 
 from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
 from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts

@@ -52,6 +52,7 @@ class TestGAE:
 
 
 class TestPPOTraining:
+    @pytest.mark.slow  # ~14 s on CPU
     def test_go2_training_improves_and_is_finite(self):
         from hcr_genesis_lr_cl_tpu.envs import registry
         from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
@@ -90,6 +91,7 @@ class TestPPOTraining:
 
 
 class TestShardedTraining:
+    @pytest.mark.slow  # ~43 s on CPU: full PPO + MPC dryrun on the 8-dev mesh
     def test_dryrun_multichip_8(self):
         """The driver's multi-chip validation path on the 8-device CPU mesh."""
         import sys

@@ -29,7 +29,11 @@ def _soa_dr(dr, nj):
     }
 
 
+import pytest
+
+
 class TestSoaSubstep:
+    @pytest.mark.slow  # ~34 s on CPU
     def test_matches_engine_single_substep(self):
         env = registry.make_env("go2", num_envs=8)
         cfg = env.cfg.replace(

@@ -41,6 +41,7 @@ class TestNewFamilies:
         assert np.isfinite(float(info["loss"]))
         assert "num_gaits" in info
 
+    @pytest.mark.slow  # ~11 s on CPU
     def test_cat_discounts_reward(self):
         env = registry.make_env("go2_cat", num_envs=8)
         state = env.init(jax.random.PRNGKey(0))
@@ -61,6 +62,7 @@ class TestNewFamilies:
         n_sit = int(np.sum(np.abs(knee - 1.35) < 0.05))
         assert 10 < n_sit < 54
 
+    @pytest.mark.slow  # 10-15 s on CPU
     def test_tron1_pf_ee_labels_and_sit_init(self):
         env = registry.make_env("tron1_pf_ee", num_envs=64)
         state = env.init(jax.random.PRNGKey(0))
@@ -80,6 +82,7 @@ class TestNewFamilies:
             v = np.asarray(state.extra[k])
             assert v.shape == (64, 2) and (v >= -1.0).all() and (v <= 0.0).all()
 
+    @pytest.mark.slow  # 10-15 s on CPU
     def test_tron1_pf_ee_trains(self):
         env = registry.make_env("tron1_pf_ee", num_envs=8)
         _, tcfg = registry.get_cfgs("tron1_pf_ee")

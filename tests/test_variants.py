@@ -32,15 +32,19 @@ def _train_two_iters(task, extra_loss_keys):
 
 
 class TestVariants:
+    @pytest.mark.slow  # 13-31 s on CPU: two full variant train iterations
     def test_ts(self):
         st, info = _train_two_iters("go2_ts", ["encoder_loss"])
 
+    @pytest.mark.slow  # 13-31 s on CPU: two full variant train iterations
     def test_ee(self):
         st, info = _train_two_iters("go2_ee", ["estimator_loss"])
 
+    @pytest.mark.slow  # 13-31 s on CPU: two full variant train iterations
     def test_cts(self):
         st, info = _train_two_iters("go2_cts", ["encoder_loss"])
 
+    @pytest.mark.slow  # 13-31 s on CPU: two full variant train iterations
     def test_dreamwaq(self):
         st, info = _train_two_iters("go2_dreamwaq", ["vae_loss", "vae_kld"])
 

@@ -1,0 +1,202 @@
+"""Stage-level profiler for the FD-kernel iLQR solve (VERDICT r1 item 1b).
+
+Times each stage of one scenario-chunk solve (S=1024, T=50) standalone on
+the real TPU: rollout scan, FD linearization dispatch, cost quadratization,
+Riccati backward, line-search forward scan. Also measures the raw fused-
+kernel step latency vs batch size (the T-sequential scans are latency-bound,
+so per-step time sets the floor for any solve).
+
+Run on the TPU: `python tools/profile_mpc.py`.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
+from hcr_genesis_lr_cl_tpu.mpc import riccati
+
+
+def timeit(name, fn, *args, n=5, warmup=2, jitter_fn=None):
+    """Median wall time of fn(*args); distinct inputs per call if jitter_fn."""
+    for i in range(warmup):
+        a = jitter_fn(i, *args) if jitter_fn else args
+        jax.block_until_ready(fn(*a))
+    ts = []
+    for i in range(n):
+        a = jitter_fn(100 + i, *args) if jitter_fn else args
+        jax.block_until_ready(a)
+        t0 = time.time()
+        jax.block_until_ready(fn(*a))
+        ts.append(time.time() - t0)
+    med = float(np.median(ts)) * 1e3
+    print(f"{name:48s} {med:9.2f} ms  (n={n})", flush=True)
+    return med
+
+
+def jitter_x(i, x0, *rest):
+    nj = (x0.shape[-1] - 13) // 2
+    dq = 1e-3 * jax.random.normal(jax.random.PRNGKey(i), x0[..., 13:13 + nj].shape)
+    return (x0.at[..., 13:13 + nj].add(dq),) + rest
+
+
+def main(S=1024, T=50, block_b=2048, lin_stride=50):
+    env, mm = benchmarks.make_go2_mpc()
+    w = mcosts.CostWeights()
+    nx = mdyn.nx(mm.model)
+    nu = mm.model.nj
+    uidx = jnp.asarray(mm.model.user_dof_idx)
+    x0, params = benchmarks.sample_scenarios(jax.random.PRNGKey(0), env, mm, S)
+    u0 = jnp.zeros((S, T, nu))
+    dyn_batch = fdy.make_kernel_dyn(mm, block_b=block_b)
+
+    def to_topo(u):
+        return jnp.zeros(u.shape[:-1] + (nu,)).at[..., uidx].set(u)
+
+    # ---- raw kernel step latency vs batch (scan of 50 steps / 50) ----
+    for B in (128, 1024, 3072, 8192):
+        xb = jnp.tile(x0[:1], (B, 1))
+        ub = jnp.zeros((B, nu))
+
+        @jax.jit
+        def steps(x, u):
+            def f(x, _):
+                xn = dyn_batch(x, u)
+                return xn, ()
+            xn, _ = jax.lax.scan(f, x, None, length=50)
+            return xn
+
+        t = timeit(f"kernel step scan x50 @ B={B}", steps, xb, ub,
+                   jitter_fn=jitter_x)
+        print(f"    -> per-step {t / 50:.3f} ms", flush=True)
+
+    # ---- stage: rollout (B=S) ----
+    @jax.jit
+    def rollout(x0, us):
+        def f(x, u):
+            xn = dyn_batch(x, to_topo(u))
+            return xn, xn
+        _, xs = jax.lax.scan(f, x0, jnp.swapaxes(us, 0, 1))
+        return jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+
+    timeit(f"rollout scan T={T} @ S={S}", rollout, x0, u0, jitter_fn=jitter_x)
+    xs = rollout(x0, u0)
+
+    # ---- stage: FD linearization ----
+    Ts = (T + lin_stride - 1) // lin_stride
+    knot_idx = jnp.arange(Ts) * lin_stride
+
+    @jax.jit
+    def linearize(xs, us):
+        xs_k = xs[:, :-1][:, knot_idx].reshape(S * Ts, nx)
+        us_k = to_topo(us[:, knot_idx].reshape(S * Ts, nu))
+        _, fx, fu = fdy.fd_linearize(dyn_batch, xs_k, us_k)
+        return fx, fu
+
+    timeit(f"FD linearize (S*Ts={S * Ts} rows x {nx + nu + 1} pert)",
+           linearize, xs, u0, jitter_fn=jitter_x)
+    fx1, fu1 = linearize(xs, u0)
+    fx = jnp.repeat(fx1.reshape(S, Ts, nx, nx), lin_stride, axis=1)[:, :T]
+    fu = jnp.repeat(fu1.reshape(S, Ts, nx, nu), lin_stride, axis=1)[:, :T]
+    fu = fu[..., uidx]
+
+    # ---- stage: quadratize ----
+    def stage_cost(p, x, u, up, t):
+        return mcosts.stage_cost(mm, w, p, x, u, up, t)
+
+    def term_cost(p, x):
+        return mcosts.terminal_cost(mm, w, p, x)
+
+    @jax.jit
+    def quadratize(params, xs, us):
+        up = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        ts = jnp.arange(T)
+
+        def knot(p, x, u, upr, t):
+            lx = jax.grad(stage_cost, argnums=1)(p, x, u, upr, t)
+            lu = jax.grad(stage_cost, argnums=2)(p, x, u, upr, t)
+            lxx = jax.hessian(stage_cost, argnums=1)(p, x, u, upr, t)
+            luu = jax.hessian(stage_cost, argnums=2)(p, x, u, upr, t)
+            lux = jax.jacfwd(jax.grad(stage_cost, argnums=2), argnums=1)(
+                p, x, u, upr, t)
+            return lx, lu, lxx, luu, lux
+
+        out = jax.vmap(
+            lambda p, xr, ur, upr: jax.vmap(knot, in_axes=(None, 0, 0, 0, 0))(
+                p, xr, ur, upr, ts))(params, xs[:, :-1], us, up)
+        vxT = jax.vmap(jax.grad(term_cost, argnums=1))(params, xs[:, -1])
+        vxxT = jax.vmap(jax.hessian(term_cost, argnums=1))(params, xs[:, -1])
+        return out + (vxT, vxxT)
+
+    def jit_q(i, params, xs, us):
+        return (params,) + jitter_x(i, xs) + (us,)
+
+    timeit("quadratize (autodiff cost derivs)", quadratize, params, xs, u0,
+           jitter_fn=jit_q)
+    lx, lu, lxx, luu, lux, vxT, vxxT = quadratize(params, xs, u0)
+
+    # ---- stage: backward ----
+    @jax.jit
+    def backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
+        bw = functools.partial(riccati.lqr_backward, reg=0.5)
+        return jax.vmap(bw)(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
+
+    def jit_b(i, fx, *rest):
+        df = 1e-6 * jax.random.normal(jax.random.PRNGKey(i), fx.shape)
+        return (fx + df,) + rest
+
+    timeit(f"Riccati backward (seq scan, S={S})", backward,
+           fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT, jitter_fn=jit_b)
+    ks, Ks = backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
+
+    # ---- stage: forward line search (A=3 alphas) ----
+    alphas = jnp.asarray([1.0, 0.1, 0.01])
+    A = 3
+
+    @jax.jit
+    def forward_all(x0, xs, us, ks, Ks):
+        rep = lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1))
+        al = jnp.repeat(alphas, S)
+        x0b = rep(x0)
+        xsb, usb, ksb, Ksb = rep(xs), rep(us), rep(ks), rep(Ks)
+        u_lo, u_hi = mdyn.u_bounds(mm)
+
+        def fstep(x, inp):
+            x_bar, u_bar, k, K = inp
+            u = u_bar + al[:, None] * (k + jnp.einsum("bux,bx->bu", K, x - x_bar))
+            u = jnp.clip(u, u_lo, u_hi)
+            xn = dyn_batch(x, to_topo(u))
+            return xn, (xn, u)
+
+        inp = (jnp.swapaxes(xsb[:, :-1], 0, 1), jnp.swapaxes(usb, 0, 1),
+               jnp.swapaxes(ksb, 0, 1), jnp.swapaxes(Ksb, 0, 1))
+        _, (xs_n, us_n) = jax.lax.scan(fstep, x0b, inp)
+        return xs_n, us_n
+
+    timeit(f"forward line search T={T} @ B={A * S}", forward_all,
+           x0, xs, u0, ks, Ks, jitter_fn=jitter_x)
+
+    # ---- full solve for reference ----
+    from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+    solve = ilqr_fd.make_fd_solver(mm, w, T, n_iters=2, block_b=block_b,
+                                   relin_every=2, lin_stride=lin_stride)
+
+    def jit_s(i, x0, params, u0):
+        return jitter_x(i, x0) + (params, u0)
+
+    timeit(f"FULL solve chunk (S={S}, 2 iters)", solve, x0, params, u0,
+           jitter_fn=jit_s)
+
+
+if __name__ == "__main__":
+    main()
