@@ -38,7 +38,11 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    interpret: bool = False, eps: float = 1e-3,
                    dyn_override=None, relin_every: int = 1,
                    lin_chunks: int = 1, lin_stride: int = 1,
-                   backward_matmul_dtype=None):
+                   backward_matmul_dtype=None, backward_mode: str = "lanes"):
+    """backward_mode: "lanes" (default) runs the backward pass in the Pallas
+    lane-major kernel (ops/riccati_kernel.py, ~4.7x the packed recursion at
+    S=1024 on v5e, and skips the Jacobian jnp.repeat when lin_stride > 1);
+    "packed" keeps the XLA packed-Q scan (mpc/riccati.py)."""
     T = horizon
     nx = mdyn.nx(mm.model)
     nu = mm.model.nj
@@ -65,8 +69,12 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
     alphas_arr = jnp.asarray(alphas)
     A = len(alphas)
 
+    # user->topo permutation as a one-hot matmul: a static-index scatter per
+    # scan step measured slower than one tiny shared-operand GEMM on v5e
+    perm = jax.nn.one_hot(uidx, nu, dtype=jnp.float32)  # (nu_user, nu_topo)
+
     def to_topo(u):
-        return jnp.zeros(u.shape[:-1] + (nu,)).at[..., uidx].set(u)
+        return u @ perm
 
     # control bounds: PD targets stay inside the joint limits. Contact makes
     # the feedback gains K large (|Vxx| ~ 1e7 near stiff contact), so an
@@ -124,16 +132,26 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         vxxT = jax.vmap(jax.hessian(term_cost, argnums=1))(params, xs[:, -1])
         return out + (vxT, vxxT)
 
-    def backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
-        """All (S, T, ...) -> gains ks (S, T, nu), Ks (S, T, nu, nx).
+    if backward_mode == "lanes":
+        from hcr_genesis_lr_cl_tpu.ops.riccati_kernel import make_lane_backward
 
-        The packed-Q recursion (mpc/riccati.lqr_backward) vmapped over
-        scenarios — the classic per-block form ran the 37-dim batched
-        matmuls at ~2% MXU utilization and was the solve's hottest stage.
-        """
-        bw = lambda *a: riccati.lqr_backward(
-            *a, reg=reg, matmul_dtype=backward_matmul_dtype)
-        return jax.vmap(bw)(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
+        _lane_bw = make_lane_backward(
+            nx, nu, T, reg=reg, interpret=interpret, jac_stride=lin_stride)
+
+        def backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
+            """fx/fu compact (S, Ts, ...); rest (S, T, ...) -> gains."""
+            return _lane_bw(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
+    else:
+        def backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
+            """All (S, T, ...) -> gains ks (S, T, nu), Ks (S, T, nu, nx).
+
+            The packed-Q recursion (mpc/riccati.lqr_backward) vmapped over
+            scenarios — the classic per-block form ran the 37-dim batched
+            matmuls at ~2% MXU utilization and was the solve's hottest stage.
+            """
+            bw = lambda *a: riccati.lqr_backward(
+                *a, reg=reg, matmul_dtype=backward_matmul_dtype)
+            return jax.vmap(bw)(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
 
     def forward_all(params, x0, xs, us, ks, Ks):
         """Evaluate the whole alpha grid in one batched T-scan.
@@ -153,8 +171,10 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
             # makes the line search discontinuous at alpha -> 0 here. With
             # alpha on both terms the candidate family is continuous in
             # alpha, so some step size always survives.
+            # feedback matvec as mult-reduce, not einsum: the batched
+            # per-row (12x37) dot lowers to padded per-scenario MXU passes
             u = u_bar + al[:, None] * (
-                k + jnp.einsum("bux,bx->bu", K, x - x_bar)
+                k + (K * (x - x_bar)[:, None, :]).sum(-1)
             )
             u = jnp.clip(u, u_lo, u_hi)
             xn = dyn_batch(x, to_topo(u))
@@ -208,11 +228,14 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                 flat_x = xs_k.reshape(S * Ts, nx)
                 flat_u = to_topo(us_k.reshape(S * Ts, nu))
                 fx, fu = fd_jac(flat_x, flat_u)
-                fx = jnp.repeat(fx.reshape(S, Ts, nx, nx), lin_stride,
-                                axis=1)[:, :T]
-                fu = jnp.repeat(fu.reshape(S, Ts, nx, nu), lin_stride,
-                                axis=1)[:, :T]
-                return fx, fu[..., uidx]
+                fx = fx.reshape(S, Ts, nx, nx)
+                fu = fu.reshape(S, Ts, nx, nu)[..., uidx]
+                if backward_mode == "lanes":
+                    # compact form: the kernel's index map replays each
+                    # stride group's Jacobian — no jnp.repeat materialization
+                    return fx, fu
+                return (jnp.repeat(fx, lin_stride, axis=1)[:, :T],
+                        jnp.repeat(fu, lin_stride, axis=1)[:, :T])
             flat_x = xs[:, :-1].reshape(S * T, nx)
             flat_u = to_topo(us.reshape(S * T, nu))
             if lin_chunks > 1:
@@ -257,8 +280,9 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
             best_cost = jnp.minimum(cost_n, best_cost)
             return (xs, us, best_cost, fx, fu), best_cost
 
-        fx0 = jnp.zeros((S, T, nx, nx))
-        fu0 = jnp.zeros((S, T, nx, nu))
+        Tj = Ts if (backward_mode == "lanes" and lin_stride > 1) else T
+        fx0 = jnp.zeros((S, Tj, nx, nx))
+        fu0 = jnp.zeros((S, Tj, nx, nu))
         (xs, us, cost, _, _), trace = jax.lax.scan(
             iteration, (xs, u_init, c0, fx0, fu0), jnp.arange(n_iters)
         )

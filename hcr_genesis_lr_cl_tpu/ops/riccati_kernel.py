@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: lane-major batched Riccati backward pass.
+
+The iLQR backward recursion over per-scenario small matrices (nx=37, nu=12
+for Go2) is the batched solve's hottest stage: under vmap every tiny matmul
+becomes one padded 128x128 MXU pass per scenario (~3% utilization, measured
+~32 ms device time per 2-iteration chunk at S=1024, T=50 on v5e). This
+kernel inverts the layout instead: scenarios live in the 128 lanes and every
+matrix product is an unrolled loop of rank-1 broadcast-FMAs over
+(rows, cols, S_block) VMEM arrays — pure VPU work at full lane utilization.
+
+Structure:
+- grid = (S/S_BLOCK, T) with T the minor (sequential) dimension; knot blocks
+  are index-mapped in reverse (T-1-t) so the scan runs backward in time;
+- the cost-to-go (vx, vxx) carries across grid steps in VMEM scratch,
+  re-initialized from the terminal expansion when t == 0;
+- Mosaic's block pipeline double-buffers the HBM streams of the per-knot
+  Jacobians/Hessians against compute;
+- the Q_uu solve is one fully unrolled Cholesky per knot with two
+  substitution sweeps (k vector + K matrix RHS), lanes-wide;
+- every contraction is arranged so only LEADING-dim slices are taken
+  (cheap in Mosaic), exploiting that Vxx/Quu/Qxu are symmetric: row b
+  stands in for column b. Vxx is re-symmetrized every step — mandatory,
+  see the in-kernel note — via mirrored rank-1 loops rather than a
+  transpose (a (nx,nx,S) leading-dims transpose is an expensive Mosaic
+  relayout).
+
+Same math as mpc/riccati.lqr_backward (Tassa-style regularization:
+quu_r = Quu + reg*(fu'fu + I), qux_r = Qux + reg*fu'fx; value recursion
+unregularized) — equivalence-tested in tests/test_riccati_kernel.py.
+
+Reference capability: rsl_rl has no trajectory optimizer; this kernel is the
+TPU-native backward pass of the MPC north-star engine (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(nx, nu, reg,
+            fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+            vxT_ref, vxxT_ref, ks_ref, Ks_ref, vx_s, vxx_s):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        vx_s[:] = vxT_ref[:]
+        vxx_s[:] = vxxT_ref[:]
+
+    A = fx_ref[0]       # (nx, nx, S): A[a, k] = d x'_a / d x_k (out-major)
+    B = fu_ref[0]       # (nx, nu, S)
+    lx = lx_ref[0]      # (nx, S)
+    lu = lu_ref[0]      # (nu, S)
+    lxx = lxx_ref[0]    # (nx, nx, S)
+    luu = luu_ref[0]    # (nu, nu, S)
+    lux = lux_ref[0]    # (nu, nx, S)
+    vx = vx_s[:]        # (nx, S) over next-state dims
+    vxx = vxx_s[:]      # (nx, nx, S)
+
+    # ---- W = Vxx @ [A | B] via rank-1 accumulation over next-state dim b;
+    # vxx row b stands in for column b (symmetric) ----
+    WA = jnp.zeros_like(A)
+    WB = jnp.zeros_like(B)
+    for b in range(nx):
+        vb = vxx[b]  # (nx, S)
+        WA = WA + vb[:, None, :] * A[b][None, :, :]
+        WB = WB + vb[:, None, :] * B[b][None, :, :]
+
+    # ---- Q blocks: Q = L + F' Vxx F; plus reg products fu'fx, fu'fu and
+    # the gradient terms qx = lx + A' vx, qu = lu + B' vx ----
+    qxx, qux, quu = lxx, lux, luu
+    qxxT = lxx  # Qxx' accumulated with swapped operands (lxx symmetric)
+    pux = jnp.zeros_like(lux)
+    puu = jnp.zeros_like(luu)
+    qx, qu = lx, lu
+    for a in range(nx):
+        Aa, Ba, Wa = A[a], B[a], WA[a]
+        qxx = qxx + Aa[:, None, :] * Wa[None, :, :]
+        qxxT = qxxT + Wa[:, None, :] * Aa[None, :, :]
+        qux = qux + Ba[:, None, :] * Wa[None, :, :]
+        quu = quu + Ba[:, None, :] * WB[a][None, :, :]
+        pux = pux + Ba[:, None, :] * Aa[None, :, :]
+        puu = puu + Ba[:, None, :] * Ba[None, :, :]
+        qx = qx + Aa * vx[a]
+        qu = qu + Ba * vx[a]
+
+    eye_u = jnp.eye(nu, dtype=jnp.float32)[:, :, None]
+    quu_r = quu + reg * (puu + eye_u)
+    qux_r = qux + reg * pux  # (nu, nx, S)
+
+    # ---- unrolled Cholesky of quu_r; solve for k (vector) and K (matrix) ----
+    L = [[None] * nu for _ in range(nu)]
+    for j in range(nu):
+        s = quu_r[j, j, :]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, nu):
+            s = quu_r[i, j, :]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # vector RHS qu -> kv = -quu_r^{-1} qu
+    y = [None] * nu
+    for i in range(nu):
+        s = qu[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    kv = [None] * nu
+    for i in reversed(range(nu)):
+        s = y[i]
+        for k in range(i + 1, nu):
+            s = s + L[k][i] * kv[k]  # kv already carries the minus sign
+        kv[i] = -(s / L[i][i])
+    # matrix RHS qux_r -> Km rows = -quu_r^{-1} qux_r (each (nx, S))
+    Y = [None] * nu
+    for i in range(nu):
+        s = qux_r[i]
+        for k in range(i):
+            s = s - L[i][k][None, :] * Y[k]
+        Y[i] = s / L[i][i][None, :]
+    Km = [None] * nu
+    for i in reversed(range(nu)):
+        s = Y[i]
+        for k in range(i + 1, nu):
+            s = s + L[k][i][None, :] * Km[k]  # Km rows carry the minus sign
+        Km[i] = -(s / L[i][i][None, :])
+
+    for p in range(nu):
+        ks_ref[0, p, :] = kv[p]
+        Ks_ref[0, p, :, :] = Km[p]
+
+    # ---- value update with the UNREGULARIZED Q (packed-JZ form):
+    # Zx = Qxx + Qxu K, Zu = Qux + Quu K; V'xx = Zx + K' Zu;
+    # vecx = qx + Qxu k, vecu = qu + Quu k; V'x = vecx + K' vecu.
+    # Qxu rows come from Qux (symmetry), Quu columns from rows.
+    # V'xx MUST be re-symmetrized every step: its anti-symmetric rounding
+    # component sees no feedback cancellation and is amplified by rho(A)^2
+    # (~900/step for a standing Go2) — without this the recursion overflows
+    # f32 within ~3 knots (measured; float64 only delays it by 2 knots).
+    # The transpose is built by mirrored rank-1 loops (swapped operands),
+    # since a (nx, nx, S) leading-dims transpose is an expensive Mosaic
+    # relayout. ----
+    zx, zxT, vecx = qxx, qxxT, qx
+    zu, vecu = qux, qu
+    for p in range(nu):
+        zx = zx + qux[p][:, None, :] * Km[p][None, :, :]
+        zxT = zxT + Km[p][:, None, :] * qux[p][None, :, :]
+        zu = zu + quu[p][:, None, :] * Km[p][None, :, :]
+        vecx = vecx + qux[p] * kv[p]
+        vecu = vecu + quu[p] * kv[p]
+    vxx_n, vxx_nT, vx_n = zx, zxT, vecx
+    for p in range(nu):
+        vxx_n = vxx_n + Km[p][:, None, :] * zu[p][None, :, :]
+        vxx_nT = vxx_nT + zu[p][:, None, :] * Km[p][None, :, :]
+        vx_n = vx_n + Km[p] * vecu[p]
+
+    vx_s[:] = vx_n
+    vxx_s[:] = 0.5 * (vxx_n + vxx_nT)
+
+
+def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
+                       s_block: int = 128, interpret: bool = False,
+                       jac_stride: int = 1):
+    """Returns bw(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT) -> (ks, Ks) with
+    the standard scenario-major layouts of mpc/riccati.lqr_backward:
+    fx (S,T,nx,nx) out-major Jacobians, fu (S,T,nx,nu), lx (S,T,nx),
+    lu (S,T,nu), lxx (S,T,nx,nx), luu (S,T,nu,nu), lux (S,T,nu,nx),
+    vxT (S,nx), vxxT (S,nx,nx) -> ks (S,T,nu), Ks (S,T,nu,nx).
+    S is padded internally to a multiple of s_block.
+
+    jac_stride > 1: fx/fu carry only ceil(T/jac_stride) knots (the solver's
+    lin_stride Jacobian reuse) and the kernel's index map re-reads the same
+    block for all knots in a stride group — replacing the jnp.repeat
+    materialization (~280 MB per Jacobian at S=1024, T=50) with free
+    index arithmetic."""
+    kern = functools.partial(_kernel, nx, nu, reg)
+    Ts = (T + jac_stride - 1) // jac_stride
+
+    def call(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
+        assert fx.shape[1] == Ts and fu.shape[1] == Ts, (fx.shape, Ts)
+        S = lx.shape[0]
+        pad = (-S) % s_block
+        if pad:
+            padfn = lambda z: jnp.concatenate(
+                [z, jnp.tile(z[-1:], (pad,) + (1,) * (z.ndim - 1))], axis=0)
+            fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT = map(
+                padfn, (fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT))
+        Sp = S + pad
+        nsb = Sp // s_block
+        sb = s_block
+
+        tm = lambda z: jnp.moveaxis(z, 0, -1)  # (S, T, ...) -> (T, ..., S)
+        rev4 = lambda s, t: (T - 1 - t, 0, 0, s)
+        rev3 = lambda s, t: (T - 1 - t, 0, s)
+        revj = lambda s, t: ((T - 1 - t) // jac_stride, 0, 0, s)
+
+        out_shape = [
+            jax.ShapeDtypeStruct((T, nu, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((T, nu, nx, Sp), jnp.float32),
+        ]
+        ks, Ks = pl.pallas_call(
+            kern,
+            grid=(nsb, T),
+            in_specs=[
+                pl.BlockSpec((1, nx, nx, sb), revj, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nx, nu, sb), revj, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nx, sb), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, sb), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nx, nx, sb), rev4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nu, sb), rev4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nx, sb), rev4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nx, sb), lambda s, t: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nx, nx, sb), lambda s, t: (0, 0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nu, sb), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nx, sb), rev4, memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((nx, sb), jnp.float32),
+                pltpu.VMEM((nx, nx, sb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(tm(fx), tm(fu), tm(lx), tm(lu), tm(lxx), tm(luu), tm(lux),
+          jnp.moveaxis(vxT, 0, -1), jnp.moveaxis(vxxT, 0, -1))
+
+        return jnp.moveaxis(ks, -1, 0)[:S], jnp.moveaxis(Ks, -1, 0)[:S]
+
+    return call

@@ -1,0 +1,56 @@
+"""Lane-major Pallas Riccati backward (ops/riccati_kernel.py) vs the packed
+sequential recursion (mpc/riccati.lqr_backward) — same gains to f32 accuracy.
+Runs the kernel in interpret mode on the CPU backend."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import riccati
+from hcr_genesis_lr_cl_tpu.ops.riccati_kernel import make_lane_backward
+
+
+def _problem(S, T, nx, nu, key):
+    ks = jax.random.split(key, 9)
+    fx = jnp.eye(nx)[None, None] + 0.05 * jax.random.normal(ks[0], (S, T, nx, nx))
+    fu = 0.1 * jax.random.normal(ks[1], (S, T, nx, nu))
+    lx = jax.random.normal(ks[2], (S, T, nx))
+    lu = jax.random.normal(ks[3], (S, T, nu))
+    W = 0.3 * jax.random.normal(ks[4], (S, T, nx, nx))
+    lxx = jnp.eye(nx)[None, None] + W @ jnp.swapaxes(W, -1, -2)
+    V = 0.3 * jax.random.normal(ks[5], (S, T, nu, nu))
+    luu = jnp.eye(nu)[None, None] + V @ jnp.swapaxes(V, -1, -2)
+    lux = 0.2 * jax.random.normal(ks[6], (S, T, nu, nx))
+    vxT = jax.random.normal(ks[7], (S, nx))
+    Wt = 0.3 * jax.random.normal(ks[8], (S, nx, nx))
+    vxxT = jnp.eye(nx)[None] + Wt @ jnp.swapaxes(Wt, -1, -2)
+    return fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT
+
+
+def _compare(S, T, nx, nu, reg, s_block, seed=0):
+    args = _problem(S, T, nx, nu, jax.random.PRNGKey(seed))
+    ref_k, ref_K = jax.vmap(functools.partial(riccati.lqr_backward, reg=reg))(*args)
+    bw = make_lane_backward(nx, nu, T, reg=reg, s_block=s_block, interpret=True)
+    ks, Ks = bw(*args)
+    assert ks.shape == (S, T, nu) and Ks.shape == (S, T, nu, nx)
+    scale_k = float(jnp.abs(ref_k).max()) + 1.0
+    scale_K = float(jnp.abs(ref_K).max()) + 1.0
+    np.testing.assert_allclose(np.asarray(ks) / scale_k,
+                               np.asarray(ref_k) / scale_k, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Ks) / scale_K,
+                               np.asarray(ref_K) / scale_K, atol=2e-4)
+
+
+def test_matches_packed_go2_dims():
+    _compare(S=4, T=10, nx=37, nu=12, reg=0.5, s_block=8)
+
+
+def test_matches_packed_padding_path():
+    # S=5 not a multiple of s_block=8: exercises the pad/unpad wrapper
+    _compare(S=5, T=6, nx=9, nu=4, reg=0.3, s_block=8)
+
+
+def test_matches_packed_reg0():
+    _compare(S=3, T=8, nx=9, nu=4, reg=0.0, s_block=8)
