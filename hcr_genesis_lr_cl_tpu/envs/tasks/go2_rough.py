@@ -232,7 +232,7 @@ class Go2TS(go2_task.Go2Env):
 
     def feet_terrain_obs(self, state: EnvState):
         """Feet 9-pt relative height patches + normals (go2_ts.py:69-72)."""
-        hgrid, normals = sensors.feet_terrain_info(self.terrain, state.sim_out.feet_pos)
+        hgrid, normals = sensors.feet_terrain_info(state.terrain_patch, state.sim_out.feet_pos)
         rel = jnp.clip(state.sim_out.feet_pos[:, :, 2:3] - hgrid, -1.0, 1.0)
         n = rel.shape[0]
         return rel.reshape(n, -1), normals.reshape(n, -1)
@@ -335,7 +335,7 @@ class Go2TS(go2_task.Go2Env):
         """EE labels: [lin_vel(3), link contact states, per-foot height above
         terrain] (reference legged_robot_ee.py:17-24)."""
         s = self.cfg.normalization.obs_scales
-        foot_h = state.sim_out.feet_pos[:, :, 2] - self.terrain.height(
+        foot_h = state.sim_out.feet_pos[:, :, 2] - state.terrain_patch.height(
             state.sim_out.feet_pos[:, :, 0], state.sim_out.feet_pos[:, :, 1]
         )
         return jnp.concatenate(

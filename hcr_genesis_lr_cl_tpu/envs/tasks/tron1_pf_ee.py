@@ -168,7 +168,7 @@ class TRON1PF_EE(StackedBipedEnv):
         """Critic frame (tron1_pf_ee.py:85-113): obs + DR + gait + contacts
         + measured heights + per-foot terrain patches/normals."""
         s = self.cfg.normalization.obs_scales
-        hgrid, normals = sensors.feet_terrain_info(self.terrain, state.sim_out.feet_pos)
+        hgrid, normals = sensors.feet_terrain_info(state.terrain_patch, state.sim_out.feet_pos)
         rel = jnp.clip(state.sim_out.feet_pos[:, :, 2:3] - hgrid, -1.0, 1.0)
         n = clean.shape[0]
         return jnp.concatenate(
@@ -189,7 +189,7 @@ class TRON1PF_EE(StackedBipedEnv):
         """(N, 17) (reference tron1_pf_ee.py:130-142)."""
         s = self.cfg.normalization.obs_scales
         r = self.cfg.rewards
-        hgrid, normals = sensors.feet_terrain_info(self.terrain, state.sim_out.feet_pos)
+        hgrid, normals = sensors.feet_terrain_info(state.terrain_patch, state.sim_out.feet_pos)
         foot_h = (
             state.sim_out.feet_pos[:, :, 2]
             - jnp.max(hgrid, axis=-1)
@@ -237,7 +237,7 @@ class TRON1PF_EE(StackedBipedEnv):
         """Swing-foot clearance vs the max height around each foot
         (reference tron1_pf_ee.py:442-456)."""
         r = self.cfg.rewards
-        hgrid, _ = sensors.feet_terrain_info(self.terrain, ctx.out.feet_pos)
+        hgrid, _ = sensors.feet_terrain_info(ctx.tpatch, ctx.out.feet_pos)
         foot_vel_xy = jnp.linalg.norm(ctx.out.feet_vel[:, :, :2], axis=-1)
         err = jnp.sum(
             foot_vel_xy

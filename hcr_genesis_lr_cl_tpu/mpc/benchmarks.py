@@ -213,6 +213,152 @@ def _time_solver(solver, x0, params, u0, n_solves):
     }
 
 
+def bench_receding_ticks(num_scenarios=1, horizon=50, n_ticks=50, n_iters=1,
+                         lin_stride=0, n_reps=3, use_gait=False):
+    """Deployment benchmark: warm-started receding-horizon tick latency.
+
+    This is the number the 20 ms / 50 Hz budget actually constrains on a
+    robot: at every control tick the solver re-solves warm-started from the
+    shifted previous plan (1 iLQR iteration) and applies the first control.
+    The whole closed loop (solve + plant step + plan shift) runs device-
+    resident as one lax.scan of `n_ticks` ticks; per-tick latency is
+    wall/n_ticks, which amortizes the host->device dispatch overhead the
+    way a deployed on-device control loop would (on this tunnel a single
+    dispatch costs ~35 ms by itself, which would swamp any sub-20 ms tick).
+
+    Returns per-tick ms plus the closed-loop cost trajectory (sanity: the
+    controller must keep the cost bounded, not diverge)."""
+    from hcr_genesis_lr_cl_tpu.mpc import receding
+
+    env, mm = make_go2_mpc()
+    w = mcosts.CostWeights(gait=1.0 if use_gait else 0.0)
+    S = num_scenarios
+    bb = min(1024, max(128, S))
+    init, tick = receding.make_receding_controller(
+        mm, w, horizon, n_iters=n_iters, block_b=bb, lin_stride=lin_stride)
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, S)
+    st = init(x0, params)
+
+    @jax.jit
+    def run(st):
+        def body(st, _):
+            st, u = tick(st, params)
+            return st, st.cost.mean()
+        st, costs = jax.lax.scan(body, st, None, length=n_ticks)
+        return st, costs
+
+    st_w, costs = run(st)  # compile + warm
+    jax.block_until_ready(costs)
+    times = []
+    cur = st
+    for _ in range(n_reps):
+        t0 = time.time()
+        cur, costs = run(cur)
+        # drain through a scalar: block_until_ready alone can return early
+        # on the tunnel runtime for small outputs
+        float(costs[-1])
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    return {
+        "tick_ms": float(np.median(times) * 1e3 / n_ticks),
+        "ticks_per_sec": float(n_ticks / np.median(times)),
+        "num_scenarios": S,
+        "horizon": horizon,
+        "n_iters": n_iters,
+        "cost_first": float(np.asarray(costs)[0]),
+        "cost_last": float(np.asarray(costs)[-1]),
+    }
+
+
+def bench_cold_solve_s1(horizon=50, n_iters=2, n_solves=20, lin_stride=0,
+                        n_reps=3):
+    """Deployment benchmark: S=1 cold-solve latency (zero-initialized
+    controls, 2 iterations), amortized over a device-resident scan of
+    `n_solves` independent solves with jittered initial states."""
+    from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+    env, mm = make_go2_mpc()
+    if lin_stride <= 0:
+        lin_stride = horizon
+    solve = ilqr_fd.make_fd_solver(
+        mm, mcosts.CostWeights(), horizon, n_iters=n_iters, block_b=128,
+        relin_every=n_iters, lin_stride=lin_stride)
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, 1)
+    u0 = jnp.zeros((1, horizon, env.model.nj))
+    nj = env.model.nj
+
+    @jax.jit
+    def run(x0):
+        def body(c, i):
+            xi = x0.at[:, 13:13 + nj].add(
+                1e-3 * jax.random.normal(jax.random.fold_in(
+                    jax.random.PRNGKey(7), i), (1, nj)))
+            res = solve(xi, params, u0)
+            return c + res.cost.sum(), res.cost.mean()
+        c, costs = jax.lax.scan(body, 0.0, jnp.arange(n_solves))
+        return c, costs
+
+    c, costs = run(x0)
+    float(c)
+    times = []
+    for r in range(n_reps):
+        # distinct inputs per rep: the tunnel runtime result-caches repeat
+        # executions with bit-identical inputs (see _time_solver)
+        x2 = x0.at[:, 13:13 + nj].add(1e-5 * (r + 1))
+        float(x2[0, 13])
+        t0 = time.time()
+        c, costs = run(x2)
+        float(c)
+        times.append(time.time() - t0)
+    return {
+        "solve_ms": float(np.median(times) * 1e3 / n_solves),
+        "horizon": horizon,
+        "n_iters": n_iters,
+        "cost_mean": float(np.asarray(costs).mean()),
+    }
+
+
+def quality_anchor(num_scenarios=256, horizon=50, from_pool=4096,
+                   full_iters=10, include_autodiff=True):
+    """Anchors the headline bench's solution quality (VERDICT r1 item 3).
+
+    On the SAME scenarios the headline solves (the first `num_scenarios` of
+    the 4096-scenario pool), compares the fast bench config (2 iters, one
+    Jacobian per trajectory) against a full-quality reference: per-knot FD
+    linearization (lin_stride=1), relinearized every iteration, `full_iters`
+    iterations — and optionally the autodiff-jacfwd solver at the same
+    settings. Returns mean final costs + the fast/full ratio; bench.py
+    prints the ratio so a regression (fast config drifting away from the
+    achievable optimum) is visible in every BENCH_r*.json."""
+    from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+    env, mm = make_go2_mpc()
+    w = mcosts.CostWeights()
+    x0, params = sample_scenarios(jax.random.PRNGKey(0), env, mm, from_pool)
+    take = lambda z: z[:num_scenarios]
+    x0 = take(x0)
+    params = jax.tree.map(take, params)
+    u0 = jnp.zeros((num_scenarios, horizon, env.model.nj))
+
+    fast = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=2, block_b=2048,
+                                  relin_every=2, lin_stride=50)
+    full = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=full_iters,
+                                  block_b=2048, relin_every=1, lin_stride=1)
+    c_fast = float(fast(x0, params, u0).cost.mean())
+    c_full = float(full(x0, params, u0).cost.mean())
+    out = {
+        "cost_fast": c_fast,
+        "cost_full_fd": c_full,
+        "fast_over_full": c_fast / c_full,
+        "num_scenarios": num_scenarios,
+        "full_iters": full_iters,
+    }
+    if include_autodiff:
+        ad = make_solver(env, mm, w, horizon, n_iters=full_iters)
+        out["cost_full_autodiff"] = float(ad(x0, params, u0).cost.mean())
+    return out
+
+
 def bench_go2_rough(num_scenarios=1024, horizon=50, n_solves=3, n_iters=3,
                     terrain_seed=0):
     """BASELINE config 3: rough-terrain heightfield MPC (vectorized terrain

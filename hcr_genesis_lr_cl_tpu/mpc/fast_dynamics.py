@@ -57,9 +57,11 @@ def make_kernel_dyn(mm: mdyn.MpcModel, block_b: int = 512, interpret: bool = Fal
         ones = jnp.ones((1, B), dtype=jnp.float32)
         zeros3 = jnp.zeros((3, B), dtype=jnp.float32)
         onesj = jnp.ones((nj, B), dtype=jnp.float32)
+        zerosj = jnp.zeros((nj, B), dtype=jnp.float32)
         quat_n, pos_n, v_n, q_n, qd_n, _, _ = call(
             T(quat), T(pos), T(v), T(q), T(qd),
-            mm.friction * ones, 0.0 * ones, zeros3, onesj, onesj, T(U_topo),
+            mm.friction * ones, 0.0 * ones, zeros3, onesj, onesj,
+            zerosj, zerosj, zerosj, T(U_topo),
         )
         out = jnp.concatenate(
             [T(quat_n), T(pos_n), T(v_n), T(q_n), T(qd_n)], axis=-1

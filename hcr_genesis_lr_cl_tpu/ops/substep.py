@@ -12,9 +12,20 @@ sweep unrolls into a single flat expression graph:
   state lives in VMEM across all substeps — the HBM-temporary traffic that
   dominates the unfused XLA path disappears.
 
-Current scope: flat-plane terrain (the heightfield gather variant keeps the
-XLA path). DR supported: friction, added base mass/com, per-dof kp/kd
-scales, armature/damping/friction offsets.
+Terrain: flat plane OR heightfield. The heightfield variant consumes a
+per-env local terrain patch (patch_n x patch_n cells around the base,
+gathered once per control step OUTSIDE the kernel by engine.make_stepper)
+and evaluates bilinear height + central-difference normals INSIDE the kernel
+with gather-free triangular hat-function weights: h = sum_ij hat(gx-i)
+hat(gy-j) P[i,j] — per-lane dynamic indexing is unavailable on the VPU, but
+the hat weights have only two nonzero entries per axis, so the row/column
+partial-sum contraction (2*patch_n^2 FMAs per query) IS the bilinear
+interpolation, exactly matching terrain/field.TerrainField.height while the
+query stays inside the patch.
+
+DR supported: friction, added base mass/com, per-dof kp/kd scales, and
+per-env armature / joint damping / joint friction OFFSETS (added to the
+model constants — the dr_* surface of physics/engine.DrParams).
 """
 
 from __future__ import annotations
@@ -64,9 +75,12 @@ class SubstepConsts(NamedTuple):
     jl_d: float
     dt_sub: float
     n_inner: int
+    patch_n: int  # 0 = flat plane; >0 = heightfield local-patch side length
+    inv_hs: float  # 1 / terrain horizontal_scale
 
 
-def make_consts(model, gains, sim, control) -> SubstepConsts:
+def make_consts(model, gains, sim, control, patch_n: int = 0,
+                horizontal_scale: float = 1.0) -> SubstepConsts:
     f = lambda x: tuple(np.asarray(x, dtype=np.float64).tolist()) if np.ndim(x) else float(x)
     I0 = np.asarray(model.I_body[0], dtype=np.float64)
     m0 = float(model.body_mass[0])
@@ -97,7 +111,51 @@ def make_consts(model, gains, sim, control) -> SubstepConsts:
         jl_k=sim.joint_limit_stiffness, jl_d=sim.joint_limit_damping,
         dt_sub=sim.dt / sim.substeps,
         n_inner=control.decimation * sim.substeps,
+        patch_n=int(patch_n),
+        inv_hs=1.0 / float(horizontal_scale),
     )
+
+
+def hf_height_normal(C: SubstepConsts, terr: dict, px, py):
+    """Bilinear height + central-difference unit normal at world (px, py)
+    from the per-env terrain patch, gather-free (see module docstring).
+
+    terr: {"patch": list of patch_n^2 (B,) rows (row-major i*n+j),
+           "ox","oy": (B,) world coords of patch cell (0, 0)}.
+    Matches TerrainField.height / .normal exactly while the +-1-cell
+    central-difference stencil stays inside the patch; queries outside are
+    clamped to the patch border (edge extension)."""
+    n = C.patch_n
+    P = terr["patch"]
+    gx = (px - terr["ox"]) * C.inv_hs
+    gy = (py - terr["oy"]) * C.inv_hs
+    # clamp so the hat stencil and the +-1-cell shifts stay in range
+    gx = jnp.clip(gx, 1.0, n - 2.001)
+    gy = jnp.clip(gy, 1.0, n - 2.001)
+    wx = [jnp.clip(1.0 - jnp.abs(gx - i), 0.0, 1.0) for i in range(n)]
+    wy = [jnp.clip(1.0 - jnp.abs(gy - j), 0.0, 1.0) for j in range(n)]
+    rows = [None] * n  # rows[i] = sum_j wy_j P[i, j]
+    cols = [None] * n  # cols[j] = sum_i wx_i P[i, j]
+    for i in range(n):
+        acc = wy[0] * P[i * n]
+        for j in range(1, n):
+            acc = acc + wy[j] * P[i * n + j]
+        rows[i] = acc
+    for j in range(n):
+        acc = wx[0] * P[j]
+        for i in range(1, n):
+            acc = acc + wx[i] * P[i * n + j]
+        cols[j] = acc
+    h = sum(wx[i] * rows[i] for i in range(n))
+    # h at gx+-1 via index-shifted hat weights; likewise gy+-1 on columns
+    hxp = sum(wx[i] * rows[i + 1] for i in range(n - 1))
+    hxm = sum(wx[i + 1] * rows[i] for i in range(n - 1))
+    hyp = sum(wy[j] * cols[j + 1] for j in range(n - 1))
+    hym = sum(wy[j + 1] * cols[j] for j in range(n - 1))
+    dhdx = (hxp - hxm) * (0.5 * C.inv_hs)
+    dhdy = (hyp - hym) * (0.5 * C.inv_hs)
+    inv_norm = 1.0 / jnp.sqrt(dhdx * dhdx + dhdy * dhdy + 1.0)
+    return h, (-dhdx * inv_norm, -dhdy * inv_norm, inv_norm)
 
 
 def _base_inertia_dr(C: SubstepConsts, added_mass, com_bias):
@@ -117,9 +175,16 @@ def _base_inertia_dr(C: SubstepConsts, added_mass, com_bias):
     return I
 
 
-def substep(C: SubstepConsts, st: dict, dr: dict, target: list):
-    """One integration substep. st: dict of SoA lists; target: list of nj (B,)."""
+def substep(C: SubstepConsts, st: dict, dr: dict, target: list, terr=None):
+    """One integration substep. st: dict of SoA lists; target: list of nj (B,);
+    terr: heightfield patch dict (hf_height_normal) or None for the plane.
+    dr may carry per-env "armature"/"jdamp"/"jfric" offset lists (nj of (B,))
+    added to the baked model constants."""
     nb, nj = C.nb, C.nj
+    zero_j = [st["q"][0] * 0.0] * nj
+    dr_arm = dr.get("armature", zero_j)
+    dr_jd = dr.get("jdamp", zero_j)
+    dr_jf = dr.get("jfric", zero_j)
     quat, pos, v0 = st["quat"], st["pos"], st["v"]
     q, qd = st["q"], st["qd"]
 
@@ -151,7 +216,8 @@ def substep(C: SubstepConsts, st: dict, dr: dict, target: list):
     for j in range(nj):
         t = dr["kp_scale"][j] * C.kp[j] * (target[j] - q[j]) - dr["kd_scale"][j] * C.kd[j] * qd[j]
         t = jnp.clip(t, -C.effort[j], C.effort[j])
-        t = t - C.jdamp[j] * qd[j] - C.jfric[j] * jnp.tanh(qd[j] / 0.1)
+        t = t - (C.jdamp[j] + dr_jd[j]) * qd[j] - (
+            C.jfric[j] + dr_jf[j]) * jnp.tanh(qd[j] / 0.1)
         below = jnp.minimum(q[j] - C.q_lo[j], 0.0)
         above = jnp.maximum(q[j] - C.q_hi[j], 0.0)
         active = ((q[j] < C.q_lo[j]) | (q[j] > C.q_hi[j])).astype(q[j].dtype)
@@ -169,15 +235,32 @@ def substep(C: SubstepConsts, st: dict, dr: dict, target: list):
         pw = soa.v3_add(p[b], soa.m3_matvec(R[b], off))
         vloc = soa.v3_add(soa.s6_lin(vb[b]), soa.v3_cross(soa.s6_ang(vb[b]), off))
         vw = soa.m3_matvec(R[b], vloc)
-        pen = C.geom_rad[g] - pw[2]
-        in_c = (pen > 0.0).astype(q[0].dtype)
-        f_spring = C.kn * pen
-        f_damp = jnp.clip(-C.cd * vw[2], -f_spring, f_spring)
-        fn = jnp.maximum(f_spring + f_damp, 0.0) * in_c
-        vt = [vw[0], vw[1]]
-        vt_n = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1] + 1e-8)
-        ft_mag = dr["friction"] * fn * jnp.minimum(vt_n / C.fv, 1.0)
-        fw = [-ft_mag * vt[0] / vt_n, -ft_mag * vt[1] / vt_n, fn]
+        if terr is None:
+            # flat plane: n = (0,0,1), h = 0 — the general formulas below
+            # collapse to this branch (kept separate: it is much cheaper)
+            pen = C.geom_rad[g] - pw[2]
+            in_c = (pen > 0.0).astype(q[0].dtype)
+            f_spring = C.kn * pen
+            f_damp = jnp.clip(-C.cd * vw[2], -f_spring, f_spring)
+            fn = jnp.maximum(f_spring + f_damp, 0.0) * in_c
+            vt = [vw[0], vw[1]]
+            vt_n = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1] + 1e-8)
+            ft_mag = dr["friction"] * fn * jnp.minimum(vt_n / C.fv, 1.0)
+            fw = [-ft_mag * vt[0] / vt_n, -ft_mag * vt[1] / vt_n, fn]
+        else:
+            # heightfield: bilinear height + central-diff normal from the
+            # per-env patch — same formulas as physics/contact.contact_forces
+            h, nrm = hf_height_normal(C, terr, pw[0], pw[1])
+            pen = (h - (pw[2] - C.geom_rad[g])) * nrm[2]
+            in_c = (pen > 0.0).astype(q[0].dtype)
+            v_n = vw[0] * nrm[0] + vw[1] * nrm[1] + vw[2] * nrm[2]
+            f_spring = C.kn * pen
+            f_damp = jnp.clip(-C.cd * v_n, -f_spring, f_spring)
+            fn = jnp.maximum(f_spring + f_damp, 0.0) * in_c
+            vt = [vw[a] - v_n * nrm[a] for a in range(3)]
+            vt_n = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1] + vt[2] * vt[2] + 1e-8)
+            ft_mag = dr["friction"] * fn * jnp.minimum(vt_n / C.fv, 1.0)
+            fw = [fn * nrm[a] - ft_mag * vt[a] / vt_n for a in range(3)]
         fb = soa.m3_tmatvec(R[b], fw)
         nb_t = soa.v3_cross(off, fb)
         f_ext[b] = soa.s6_add(f_ext[b], soa.s6(nb_t, fb))
@@ -210,8 +293,8 @@ def substep(C: SubstepConsts, st: dict, dr: dict, target: list):
         pi = C.parent[i]
         S = soa.s6([C.axis[j][a] + q[0] * 0.0 for a in range(3)], soa.v3_zero(q[0]))
         U[i] = soa.m6_matvec(IA[i], S)
-        kd_eff = dr["kd_scale"][j] * C.kd[j] + C.jdamp[j]
-        D = soa.s6_dot(S, U[i]) + C.armature[j] + C.dt_sub * kd_eff
+        kd_eff = dr["kd_scale"][j] * C.kd[j] + C.jdamp[j] + dr_jd[j]
+        D = soa.s6_dot(S, U[i]) + C.armature[j] + dr_arm[j] + C.dt_sub * kd_eff
         Dinv[i] = 1.0 / D
         u[i] = tau[j] - soa.s6_dot(S, pA[i])
         Ia = soa.m6_sub_outer_scaled(IA[i], U[i], Dinv[i])

@@ -10,9 +10,17 @@ Layout: every quantity is (components, B) with the env batch B in lanes;
 blocks of BLOCK_B envs per grid step. Model constants are Python floats baked
 into the kernel (ops/substep.make_consts).
 
-Used by physics/engine.step for flat-plane terrain when `use_pallas` is
-enabled; falls back to the XLA path otherwise (heightfield terrain, DR
-armature/damping extras).
+Terrain: flat plane (patch_n=0) or heightfield via a per-env local patch
+(patch_n x patch_n cells, (patch_n^2, B) + a (2, B) world origin input),
+with in-kernel gather-free bilinear height + central-difference normals
+(ops/substep.hf_height_normal) — this is what moves the rough-terrain tasks
+(go2_ts/cat/nav, tron1_pf_ee; ref common_cfgs.py Go2RoughCommonCfg) onto the
+fast path. The patch is gathered from the replicated heightfield once per
+control step OUTSIDE the kernel (engine.make_stepper).
+
+Used by physics/engine.step when `use_pallas` is enabled (auto on TPU for
+P-control); the XLA path remains the oracle for tests and the fallback for
+V/T control types.
 """
 
 from __future__ import annotations
@@ -27,10 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 from hcr_genesis_lr_cl_tpu.ops import substep as ss
 
 
-def _kernel(C, n_slots, quat_ref, pos_ref, v_ref, q_ref, qd_ref,
-            fric_ref, am_ref, cb_ref, kps_ref, kds_ref, act_ref,
-            quat_o, pos_o, v_o, q_o, qd_o, tau_o, slot_o):
+def _kernel(C, n_slots, *refs):
     nj = C.nj
+    hf = C.patch_n > 0
+    (quat_ref, pos_ref, v_ref, q_ref, qd_ref,
+     fric_ref, am_ref, cb_ref, kps_ref, kds_ref,
+     arm_ref, jd_ref, jf_ref, act_ref) = refs[:14]
+    refs = refs[14:]
+    if hf:
+        patch_ref, orig_ref = refs[:2]
+        refs = refs[2:]
+    quat_o, pos_o, v_o, q_o, qd_o, tau_o, slot_o = refs
+
     st = {
         "quat": [quat_ref[i, :] for i in range(4)],
         "pos": [pos_ref[i, :] for i in range(3)],
@@ -44,7 +60,18 @@ def _kernel(C, n_slots, quat_ref, pos_ref, v_ref, q_ref, qd_ref,
         "com_bias": [cb_ref[i, :] for i in range(3)],
         "kp_scale": [kps_ref[j, :] for j in range(nj)],
         "kd_scale": [kds_ref[j, :] for j in range(nj)],
+        "armature": [arm_ref[j, :] for j in range(nj)],
+        "jdamp": [jd_ref[j, :] for j in range(nj)],
+        "jfric": [jf_ref[j, :] for j in range(nj)],
     }
+    terr = None
+    if hf:
+        n2 = C.patch_n * C.patch_n
+        terr = {
+            "patch": [patch_ref[i, :] for i in range(n2)],
+            "ox": orig_ref[0, :],
+            "oy": orig_ref[1, :],
+        }
     target = [act_ref[j, :] * C.action_scale + C.default_q[j] for j in range(nj)]
 
     zero = st["q"][0] * 0.0
@@ -55,7 +82,8 @@ def _kernel(C, n_slots, quat_ref, pos_ref, v_ref, q_ref, qd_ref,
 
     def body(_, c):
         out = ss.substep(
-            C, {k: c[k] for k in ("quat", "pos", "v", "q", "qd")}, dr, target
+            C, {k: c[k] for k in ("quat", "pos", "v", "q", "qd")}, dr, target,
+            terr=terr,
         )
         return out
 
@@ -79,19 +107,25 @@ def _kernel(C, n_slots, quat_ref, pos_ref, v_ref, q_ref, qd_ref,
 
 
 def make_pallas_control_step(model, gains, sim, control, block_b: int = 256,
-                             interpret: bool = False):
-    """Returns f(state_TB, dr_TB, actions_topo) operating on (comp, B) arrays.
+                             interpret: bool = False, patch_n: int = 0,
+                             horizontal_scale: float = 1.0):
+    """Returns f(state_TB, dr_TB, actions_topo[, patch, origin]) on (comp, B)
+    arrays.
 
-    state_TB: dict with quat(4,B) pos(3,B) v(6,B) q(nj,B) qd(nj,B);
-    dr_TB: friction(1,B) added_mass(1,B) com_bias(3,B) kp/kd_scale(nj,B);
-    actions: (nj, B) topo order. Returns same-layout new state + tau(nj,B)
-    + slot forces (3*num_slots, B).
-    """
-    C = ss.make_consts(model, gains, sim, control)
+    state_TB: quat(4,B) pos(3,B) v(6,B) q(nj,B) qd(nj,B);
+    dr_TB: friction(1,B) added_mass(1,B) com_bias(3,B) kp/kd_scale(nj,B)
+    armature/jdamp/jfric offsets (nj,B); actions: (nj, B) topo order.
+    Heightfield (patch_n > 0) additionally takes patch (patch_n^2, B) and
+    origin (2, B). Returns same-layout new state + tau(nj,B) + slot forces
+    (3*num_slots, B)."""
+    C = ss.make_consts(model, gains, sim, control, patch_n=patch_n,
+                       horizontal_scale=horizontal_scale)
     nj, ns = C.nj, C.num_slots
     kern = functools.partial(_kernel, C, ns)
+    hf = patch_n > 0
 
-    def call(quat, pos, v, q, qd, fric, am, cb, kps, kds, act):
+    def call(quat, pos, v, q, qd, fric, am, cb, kps, kds, arm, jd, jf, act,
+             patch=None, origin=None):
         B = quat.shape[1]
         grid = (max(1, B // block_b),)
         bb = min(block_b, B)
@@ -106,36 +140,68 @@ def make_pallas_control_step(model, gains, sim, control, block_b: int = 256,
             jax.ShapeDtypeStruct((nj, B), jnp.float32),
             jax.ShapeDtypeStruct((3 * ns, B), jnp.float32),
         ]
+        in_specs = [spec(4), spec(3), spec(6), spec(nj), spec(nj),
+                    spec(1), spec(1), spec(3), spec(nj), spec(nj),
+                    spec(nj), spec(nj), spec(nj), spec(nj)]
+        args = [quat, pos, v, q, qd, fric, am, cb, kps, kds, arm, jd, jf, act]
+        if hf:
+            in_specs += [spec(patch_n * patch_n), spec(2)]
+            args += [patch, origin]
         return pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[spec(4), spec(3), spec(6), spec(nj), spec(nj),
-                      spec(1), spec(1), spec(3), spec(nj), spec(nj), spec(nj)],
+            in_specs=in_specs,
             out_specs=[spec(4), spec(3), spec(6), spec(nj), spec(nj), spec(nj),
                        spec(3 * ns)],
             out_shape=out_shape,
             interpret=interpret,
-        )(quat, pos, v, q, qd, fric, am, cb, kps, kds, act)
+        )(*args)
 
     return call
 
 
 def make_pallas_engine_step(model, gains, sim, control, block_b: int = 256,
-                            interpret: bool = False):
+                            interpret: bool = False, terrain=None,
+                            patch_n: int = None):
     """Factory (call OUTSIDE jit: bakes model constants): returns
     f(state, dr, action_topo) -> (new_state, tau(N,nj), slot_forces(N,ns,3))
-    with the engine's (N, ...) layouts."""
+    with the engine's (N, ...) layouts.
+
+    terrain: a TerrainField with is_plane=False enables the heightfield
+    path — the per-env tile from terrain.fetch_patches (PATCH_N x PATCH_N,
+    guaranteed +-TILE_STRIDE-cell margin around the base: 0.8 m at 0.1 m
+    scale, enough for every robot in the task library) feeds the kernel;
+    excursions clamp to edge extension inside the kernel."""
     from hcr_genesis_lr_cl_tpu.physics.engine import PhysicsState
+    from hcr_genesis_lr_cl_tpu.terrain.field import PATCH_N
 
-    call = make_pallas_control_step(model, gains, sim, control, block_b, interpret)
+    if patch_n is None:
+        patch_n = PATCH_N
+    hf = terrain is not None and not terrain.is_plane
+    hs = float(terrain.horizontal_scale) if hf else 1.0
+    call = make_pallas_control_step(
+        model, gains, sim, control, block_b, interpret,
+        patch_n=patch_n if hf else 0, horizontal_scale=hs,
+    )
 
-    def step(state, dr, action_topo):
+    def step(state, dr, action_topo, tpatch=None):
+        """tpatch: optional TerrainPatch (terrain.fetch_patches) to reuse —
+        the env fetches one per step for sensors and physics alike; when
+        None the patch is fetched here (standalone use)."""
         T = lambda x: jnp.transpose(x)
-        quat, pos, v, q, qd, tau, slot = call(
+        args = [
             T(state.base_quat), T(state.base_pos), T(state.v_base), T(state.q),
             T(state.qd), dr.friction[None], dr.added_mass[None], T(dr.com_bias),
-            T(dr.kp_scale), T(dr.kd_scale), T(action_topo),
-        )
+            T(dr.kp_scale), T(dr.kd_scale), T(dr.armature),
+            T(dr.joint_damping), T(dr.joint_friction), T(action_topo),
+        ]
+        if hf:
+            if tpatch is None:
+                tpatch = terrain.fetch_patches(state.base_pos)
+            n_env = state.base_pos.shape[0]
+            args += [T(tpatch.patch.reshape(n_env, patch_n * patch_n)),
+                     T(tpatch.origin)]
+        quat, pos, v, q, qd, tau, slot = call(*args)
         n = state.base_quat.shape[0]
         new_state = PhysicsState(
             base_quat=T(quat), base_pos=T(pos), v_base=T(v), q=T(q), qd=T(qd)
@@ -144,3 +210,5 @@ def make_pallas_engine_step(model, gains, sim, control, block_b: int = 256,
         return new_state, T(tau), slot_forces
 
     return step
+
+

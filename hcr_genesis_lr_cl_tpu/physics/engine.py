@@ -300,29 +300,30 @@ def compute_outputs(model: RobotModel, sim: SimCfg, state: PhysicsState,
 def make_stepper(model: RobotModel, terrain: TerrainField, sim: SimCfg,
                  control: ControlCfg, gains: Gains, use_pallas=None,
                  pallas_interpret: bool = False):
-    """Select the physics path: fused Pallas kernel (TPU, flat plane) or the
-    XLA scan path. `use_pallas=None` -> auto."""
+    """Select the physics path: fused Pallas kernel (TPU; flat plane AND
+    heightfield via per-env local patches) or the XLA scan path.
+    `use_pallas=None` -> auto."""
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
-            and terrain.is_plane
             and gains.control_type == "P"
         )
-    if not (use_pallas and terrain.is_plane and gains.control_type == "P"):
-        return lambda state, dr, actions: step(
+    if not (use_pallas and gains.control_type == "P"):
+        return lambda state, dr, actions, tpatch=None: step(
             model, terrain, sim, control, gains, state, dr, actions
         )
 
     from hcr_genesis_lr_cl_tpu.ops.substep_kernel import make_pallas_engine_step
 
     kstep = make_pallas_engine_step(
-        model, gains, sim, control, interpret=pallas_interpret
+        model, gains, sim, control, interpret=pallas_interpret, terrain=terrain
     )
     user_idx = jnp.asarray(model.user_dof_idx)
 
-    def fused(state: PhysicsState, dr: DrParams, actions: jnp.ndarray):
+    def fused(state: PhysicsState, dr: DrParams, actions: jnp.ndarray,
+              tpatch=None):
         action_topo = jnp.zeros_like(state.q).at[:, user_idx].set(actions)
-        new_state, tau, slot_forces = kstep(state, dr, action_topo)
+        new_state, tau, slot_forces = kstep(state, dr, action_topo, tpatch)
         tau_user = tau[:, user_idx]
         return new_state, compute_outputs(model, sim, new_state, tau_user, slot_forces)
 

@@ -34,14 +34,16 @@ def feet_terrain_info(terrain: TerrainField, feet_pos):
     """9-point height patch + normal per foot.
 
     feet_pos: (N, nf, 3) world. Returns (heights (N, nf, 9), normals (N, nf, 3)).
-    """
+    All 9 offsets go through ONE batched height query: each query call has a
+    few-ms fixed cost at 4096 envs (batched-small-matmul contraction against
+    the per-env TerrainPatch), so call count — not point count — is what
+    matters."""
     x, y = feet_pos[..., 0], feet_pos[..., 1]
     hs = terrain.horizontal_scale
     offsets = [(-1, 0), (1, 0), (0, -1), (0, 1), (0, 0), (-1, -1), (1, 1), (-1, 1), (1, -1)]
-    hgrid = jnp.stack(
-        [terrain.height(x + ox * hs, y + oy * hs) for ox, oy in offsets],
-        axis=-1,
-    )  # (N, nf, 9)
+    ox = jnp.asarray([o[0] for o in offsets], dtype=jnp.float32) * hs
+    oy = jnp.asarray([o[1] for o in offsets], dtype=jnp.float32) * hs
+    hgrid = terrain.height(x[..., None] + ox, y[..., None] + oy)  # (N, nf, 9)
     dx = (hgrid[..., 1] - hgrid[..., 0]) / (2 * hs)
     dy = (hgrid[..., 3] - hgrid[..., 2]) / (2 * hs)
     n = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)

@@ -20,12 +20,105 @@ from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
 from hcr_genesis_lr_cl_tpu.terrain.generators import BuiltTerrain, build_terrain
 
 
+PATCH_N = 24  # local-patch side length (cells); covers >= +-8 cells (~0.8 m)
+TILE_STRIDE = 8  # tile grid stride (cells)
+
+
+@struct.dataclass
+class TerrainPatch:
+    """Per-env local terrain window with gather-free queries.
+
+    XLA gathers from the full heightfield cost ~14 ns/element on TPU, which
+    made the reference-style sensor stack (187-point height grid + 9-point
+    foot patches, genesis_simulator.py:552-610) the dominant cost of rough
+    terrain training. Instead, TerrainField pre-tiles the heightfield into
+    overlapping PATCH_N x PATCH_N tiles (stride TILE_STRIDE); fetch_patches
+    pulls ONE tile per env per step (an embedding-style take along the tile
+    axis — the one gather shape TPUs do well, ~2.6 ms at 4096 envs), and all
+    queries against the patch are triangular/box weight contractions (plain
+    batched FMAs, no gathers) that reproduce the global bilinear/min3
+    formulas exactly while the query stays inside the window (guaranteed
+    margin: +-TILE_STRIDE cells around the fetch center).
+
+    Query methods mirror TerrainField's (height / height_min3 / normal /
+    horizontal_scale) over (N, ...)-shaped points, so sensor code is
+    polymorphic over field vs patch."""
+
+    is_plane: bool = struct.field(pytree_node=False)
+    patch: jnp.ndarray  # (N, PATCH_N, PATCH_N)
+    origin: jnp.ndarray  # (N, 2) world xy of patch cell (0, 0)
+    hs: jnp.ndarray  # scalar horizontal scale
+
+    @property
+    def horizontal_scale(self):
+        return self.hs
+
+    def _grid(self, x, y):
+        n = self.patch.shape[-1]
+        N = self.patch.shape[0]
+        shp = x.shape
+        xf = x.reshape(N, -1)
+        yf = y.reshape(N, -1)
+        gx = (xf - self.origin[:, :1]) / self.hs
+        gy = (yf - self.origin[:, 1:2]) / self.hs
+        return jnp.clip(gx, 0.0, n - 1.001), jnp.clip(gy, 0.0, n - 1.001), shp
+
+    def _bilinear(self, gx, gy):
+        n = self.patch.shape[-1]
+        ii = jnp.arange(n, dtype=gx.dtype)
+        wx = jnp.clip(1.0 - jnp.abs(gx[..., None] - ii), 0.0, 1.0)  # (N,P,n)
+        wy = jnp.clip(1.0 - jnp.abs(gy[..., None] - ii), 0.0, 1.0)
+        rows = jnp.einsum("npj,nij->npi", wy, self.patch)
+        return (wx * rows).sum(-1)
+
+    def height(self, x, y):
+        if self.is_plane:
+            return jnp.zeros_like(x)
+        gx, gy, shp = self._grid(x, y)
+        return self._bilinear(gx, gy).reshape(shp)
+
+    def height_min3(self, x, y):
+        if self.is_plane:
+            return jnp.zeros_like(x)
+        gx, gy, shp = self._grid(x, y)
+        n = self.patch.shape[-1]
+        ii = jnp.arange(n, dtype=gx.dtype)
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        bx0 = (ii == x0[..., None]).astype(gx.dtype)
+        bx1 = (ii == x0[..., None] + 1).astype(gx.dtype)
+        by0 = (ii == y0[..., None]).astype(gx.dtype)
+        by1 = (ii == y0[..., None] + 1).astype(gx.dtype)
+        rows0 = jnp.einsum("npj,nij->npi", by0, self.patch)
+        rows1 = jnp.einsum("npj,nij->npi", by1, self.patch)
+        h00 = (bx0 * rows0).sum(-1)
+        h10 = (bx1 * rows0).sum(-1)
+        h01 = (bx0 * rows1).sum(-1)
+        return jnp.minimum(jnp.minimum(h00, h10), h01).reshape(shp)
+
+    def normal(self, x, y):
+        if self.is_plane:
+            z = jnp.zeros_like(x)
+            return jnp.stack([z, z, jnp.ones_like(x)], axis=-1)
+        hs = self.hs
+        # one stacked query for the 4 stencil points (call count dominates)
+        xs = jnp.stack([x + hs, x - hs, x, x], axis=-1)
+        ys = jnp.stack([y, y, y + hs, y - hs], axis=-1)
+        h4 = self.height(xs, ys)
+        dhdx = (h4[..., 0] - h4[..., 1]) / (2 * hs)
+        dhdy = (h4[..., 2] - h4[..., 3]) / (2 * hs)
+        n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
 @struct.dataclass
 class TerrainField:
     is_plane: bool = struct.field(pytree_node=False)
     num_rows: int = struct.field(pytree_node=False)
     num_cols: int = struct.field(pytree_node=False)
+    tile_grid: tuple = struct.field(pytree_node=False)  # (TR, TC)
     heights: jnp.ndarray  # (H, W) meters
+    tiles: jnp.ndarray  # (TR*TC, PATCH_N**2) overlapping windows, flat
     horizontal_scale: jnp.ndarray  # scalar
     origin_xy: jnp.ndarray  # (2,)
     env_origins: jnp.ndarray  # (num_rows, num_cols, 3)
@@ -41,7 +134,9 @@ class TerrainField:
             is_plane=True,
             num_rows=1,
             num_cols=1,
+            tile_grid=(1, 1),
             heights=jnp.zeros((2, 2), dtype=jnp.float32),
+            tiles=jnp.zeros((1, 1), dtype=jnp.float32),
             horizontal_scale=jnp.float32(1.0),
             origin_xy=jnp.zeros(2, dtype=jnp.float32),
             env_origins=jnp.zeros((1, 1, 3), dtype=jnp.float32),
@@ -53,11 +148,27 @@ class TerrainField:
 
     @staticmethod
     def from_built(bt: BuiltTerrain, cfg: TerrainCfg) -> "TerrainField":
+        h = np.asarray(bt.heights, dtype=np.float32)
+        H, W = h.shape
+        tr = max(1, -(-(H - PATCH_N) // TILE_STRIDE) + 1)
+        tc = max(1, -(-(W - PATCH_N) // TILE_STRIDE) + 1)
+        hp = np.pad(h, (
+            (0, (tr - 1) * TILE_STRIDE + PATCH_N - H),
+            (0, (tc - 1) * TILE_STRIDE + PATCH_N - W),
+        ), mode="edge")
+        sw = np.lib.stride_tricks.sliding_window_view(hp, (PATCH_N, PATCH_N))
+        # stored FLAT (tile rows contiguous): jnp.take of contiguous 2.3 KB
+        # rows is ~1.7x faster than gathering (1, 24, 24) slices
+        tiles = np.ascontiguousarray(
+            sw[::TILE_STRIDE, ::TILE_STRIDE].reshape(-1, PATCH_N * PATCH_N)
+        )
         return TerrainField(
             is_plane=False,
             num_rows=bt.num_rows,
             num_cols=bt.num_cols,
+            tile_grid=(tr, tc),
             heights=jnp.asarray(bt.heights),
+            tiles=jnp.asarray(tiles),
             horizontal_scale=jnp.float32(bt.horizontal_scale),
             origin_xy=jnp.asarray(bt.origin_xy, dtype=jnp.float32),
             env_origins=jnp.asarray(bt.env_origins, dtype=jnp.float32),
@@ -72,6 +183,34 @@ class TerrainField:
         if cfg.mesh_type == "plane":
             return TerrainField.plane(cfg)
         return TerrainField.from_built(build_terrain(cfg, seed), cfg)
+
+    # ---- per-env local patches (see TerrainPatch) ----
+    def fetch_patches(self, center_xy) -> TerrainPatch:
+        """One PATCH_N x PATCH_N tile per env, centered so every point within
+        +-TILE_STRIDE cells (0.8 m at 0.1 m scale) of `center_xy` is in the
+        window. center_xy: (N, >=2) world positions (e.g. base_pos)."""
+        if self.is_plane:
+            n = center_xy.shape[0]
+            return TerrainPatch(
+                is_plane=True,
+                patch=jnp.zeros((n, 1, 1), dtype=jnp.float32),
+                origin=jnp.zeros((n, 2), dtype=jnp.float32),
+                hs=self.horizontal_scale,
+            )
+        tr, tc = self.tile_grid
+        hs = self.horizontal_scale
+        gx = (center_xy[:, 0] - self.origin_xy[0]) / hs
+        gy = (center_xy[:, 1] - self.origin_xy[1]) / hs
+        r = jnp.clip(jnp.floor(gx / TILE_STRIDE).astype(jnp.int32) - 1, 0, tr - 1)
+        c = jnp.clip(jnp.floor(gy / TILE_STRIDE).astype(jnp.int32) - 1, 0, tc - 1)
+        patch = jnp.take(self.tiles, r * tc + c, axis=0).reshape(
+            -1, PATCH_N, PATCH_N)
+        origin = jnp.stack(
+            [self.origin_xy[0] + (r * TILE_STRIDE).astype(jnp.float32) * hs,
+             self.origin_xy[1] + (c * TILE_STRIDE).astype(jnp.float32) * hs],
+            axis=-1,
+        )
+        return TerrainPatch(is_plane=False, patch=patch, origin=origin, hs=hs)
 
     # ---- queries (broadcast over any leading dims) ----
     def _grid(self, x, y):

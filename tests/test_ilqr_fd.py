@@ -177,3 +177,38 @@ class TestFdSolver:
         assert np.all(np.isfinite(trace))
         assert np.all(trace[:, -1] <= trace[:, 0] + 1e-4)
         assert float(trace[:, -1].mean()) < 0.97 * float(trace[:, 0].mean())
+
+
+class TestQualityAnchor:
+    def test_anchor_machinery_fast_vs_full(self):
+        """Both anchor configurations (the bench's fast stride-reuse config
+        and the full-quality per-knot-Jacobian config) solve with finite,
+        monotone cost traces. The QUANTITATIVE anchor gate — fast cost within
+        2% of full-quality on the real 4096-scenario T=50 problem — lives in
+        bench.py (quality_anchor, printed every bench run with a REGRESSION
+        flag; measured 0.9964 on v5e 2026-08-19), because the relationship
+        is scale-dependent: at toy scale (S=2, T=10, substeps=2) the fast
+        config measures ~36% worse, while at bench scale the start-knot
+        secant Jacobian regularizes the backward pass and fast BEATS full
+        (113.81 vs 114.22)."""
+        import numpy as np
+
+        from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+        from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+        from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+        env, mm = mb.make_go2_mpc(substeps=2)
+        S, T = 2, 10
+        x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, S)
+        u0 = jnp.zeros((S, T, env.model.nj))
+        kw = dict(block_b=8, interpret=True)
+        fast = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(), T, n_iters=2,
+                                      relin_every=2, lin_stride=5, **kw)
+        full = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(), T, n_iters=6,
+                                      relin_every=1, lin_stride=1, **kw)
+        for solver in (fast, full):
+            res = solver(x0, params, u0)
+            tr = np.asarray(res.cost_trace)
+            assert np.isfinite(tr).all()
+            assert (np.diff(tr, axis=1) <= 1e-5).all()
+            assert (tr[:, -1] < tr[:, 0]).any()  # actually descends

@@ -52,3 +52,56 @@ class TestPallasControlStep:
             np.asarray(slots_k), np.asarray(out_ref.link_contact_forces),
             rtol=1e-2, atol=5e-2,
         )
+
+    @pytest.mark.slow  # interpret-mode kernel + terrain build + settle, CPU
+    def test_matches_engine_heightfield(self):
+        """Heightfield fast path (per-env patch + in-kernel bilinear height /
+        central-diff normals) in lockstep vs the XLA engine path on a rough
+        terrain cell, from a SETTLED in-contact state (VERDICT r1 item 2).
+
+        Tolerances are distribution-aware: the bilinear interpolations agree
+        to ~1e-7, but a contact whose penetration straddles zero between the
+        two paths flips a stiff force across 16 substeps — measured on TPU at
+        N=256 settled envs: qd maxdiff median 3.4e-5, p90 4e-3, worst 0.19;
+        forces median 1.5e-3 N, worst 9 N (of ~330 N total). The medians are
+        the correctness signal; the max tolerances absorb the straddlers."""
+        env = registry.make_env("go2_ts", num_envs=4)
+        assert not env.terrain.is_plane
+        cfg = env.cfg
+        state = env.init(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        for _ in range(40):  # settle into contact (starts with a drop)
+            state, _ = step(state, jnp.zeros((4, 12)))
+        ps, dr = state.physics, state.dr
+        # robots must actually be in contact for the test to mean anything
+        f_tot = jnp.abs(state.sim_out.link_contact_forces).sum()
+        assert float(f_tot) > 100.0
+        actions = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (4, 12))
+        uidx = jnp.asarray(env.model.user_dof_idx)
+        action_topo = jnp.zeros_like(ps.q).at[:, uidx].set(actions)
+
+        ps_ref, out_ref = jax.jit(
+            lambda s: eng.step(env.model, env.terrain, cfg.sim, cfg.control,
+                               env.gains, s, dr, actions)
+        )(ps)
+
+        kstep = make_pallas_engine_step(
+            env.model, env.gains, cfg.sim, cfg.control, block_b=4,
+            interpret=True, terrain=env.terrain,
+        )
+        ps_k, tau_k, slots_k = jax.jit(lambda s, a: kstep(s, dr, a))(ps, action_topo)
+
+        np.testing.assert_allclose(np.asarray(ps_k.q), np.asarray(ps_ref.q),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(ps_k.base_pos),
+                                   np.asarray(ps_ref.base_pos),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(ps_k.base_quat),
+                                   np.asarray(ps_ref.base_quat),
+                                   rtol=1e-3, atol=1e-3)
+        dqd = np.abs(np.asarray(ps_k.qd) - np.asarray(ps_ref.qd))
+        assert np.median(dqd) < 1e-3
+        assert dqd.max() < 0.5
+        dsl = np.abs(np.asarray(slots_k) - np.asarray(out_ref.link_contact_forces))
+        assert np.median(dsl) < 0.05
+        assert dsl.max() < 15.0

@@ -1,0 +1,87 @@
+"""TerrainPatch (gather-free local queries) vs TerrainField global queries."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.envs.tasks.go2_rough import rough_terrain_cfg
+from hcr_genesis_lr_cl_tpu.terrain.field import TILE_STRIDE, TerrainField
+
+
+def _field():
+    cfg = rough_terrain_cfg(num_rows=3, num_cols=3, border_size=4.0)
+    return TerrainField.build(cfg, seed=0)
+
+
+def test_patch_queries_match_global():
+    terr = _field()
+    rng = np.random.RandomState(0)
+    N, P = 32, 50
+    H, W = terr.heights.shape
+    hs = float(terr.horizontal_scale)
+    ox, oy = np.asarray(terr.origin_xy)
+    # centers strictly inside the field, away from the global border
+    cx = ox + rng.uniform(3.0, (H - 30) * hs, N)
+    cy = oy + rng.uniform(3.0, (W - 30) * hs, N)
+    centers = jnp.asarray(np.stack([cx, cy], axis=-1), jnp.float32)
+    patch = terr.fetch_patches(centers)
+    # query points within the guaranteed +-TILE_STRIDE-cell margin
+    m = (TILE_STRIDE - 0.5) * hs
+    qx = jnp.asarray(cx[:, None] + rng.uniform(-m, m, (N, P)), jnp.float32)
+    qy = jnp.asarray(cy[:, None] + rng.uniform(-m, m, (N, P)), jnp.float32)
+
+    # f32 tolerance: the global query computes grid fractions from large
+    # world coordinates (ulp ~3e-5 at gx~300); the patch's small-offset
+    # fractions are MORE accurate, so the two differ at rounding level
+    np.testing.assert_allclose(
+        np.asarray(patch.height(qx, qy)), np.asarray(terr.height(qx, qy)),
+        atol=2e-4,
+    )
+    # min3 is discontinuous at cell boundaries: a 1-ulp grid-coord difference
+    # can pick a different floor cell; compare only points safely inside cells
+    g_ok = np.asarray(
+        (jnp.abs((qx - terr.origin_xy[0]) / terr.horizontal_scale % 1.0 - 0.5) < 0.45)
+        & (jnp.abs((qy - terr.origin_xy[1]) / terr.horizontal_scale % 1.0 - 0.5) < 0.45)
+    )
+    m3p = np.asarray(patch.height_min3(qx, qy))
+    m3g = np.asarray(terr.height_min3(qx, qy))
+    np.testing.assert_allclose(m3p[g_ok], m3g[g_ok], atol=2e-4)
+    # the normal's +-1-cell stencil needs an extra cell of margin
+    mn = (TILE_STRIDE - 1.6) * hs
+    nx_ = jnp.asarray(cx[:, None] + rng.uniform(-mn, mn, (N, P)), jnp.float32)
+    ny_ = jnp.asarray(cy[:, None] + rng.uniform(-mn, mn, (N, P)), jnp.float32)
+    # normals are discontinuous at stair edges: a 1-ulp grid difference in
+    # the +-1-cell stencil flips the sampled face — mask near-boundary points
+    n_ok = np.asarray(
+        (jnp.abs((nx_ - terr.origin_xy[0]) / terr.horizontal_scale % 1.0 - 0.5) < 0.45)
+        & (jnp.abs((ny_ - terr.origin_xy[1]) / terr.horizontal_scale % 1.0 - 0.5) < 0.45)
+    )
+    npv = np.asarray(patch.normal(nx_, ny_))
+    ngv = np.asarray(terr.normal(nx_, ny_))
+    d = np.abs(npv[n_ok] - ngv[n_ok])
+    # the +-hs stencil's own fracs shift by f32 rounding, so a handful of
+    # stencil points can still straddle a stair edge: bound the OUTLIER RATE,
+    # not the max
+    assert np.mean(d > 2e-3) < 0.005, (d.max(), np.mean(d > 2e-3))
+    assert np.median(d) < 1e-5
+
+
+def test_patch_plane():
+    from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
+
+    terr = TerrainField.build(TerrainCfg(mesh_type="plane"), 0)
+    patch = terr.fetch_patches(jnp.zeros((4, 3)))
+    x = jnp.ones((4, 7))
+    assert float(jnp.abs(patch.height(x, x)).max()) == 0.0
+    n = patch.normal(x, x)
+    np.testing.assert_allclose(np.asarray(n[..., 2]), 1.0)
+
+
+def test_patch_shapes_3d_queries():
+    terr = _field()
+    centers = jnp.asarray(np.asarray(terr.env_origins)[:2, :2].reshape(4, 3))
+    patch = terr.fetch_patches(centers)
+    x = centers[:, 0:1, None] + jnp.zeros((4, 5, 9))
+    y = centers[:, 1:2, None] + jnp.zeros((4, 5, 9))
+    assert patch.height(x, y).shape == (4, 5, 9)
+    assert patch.normal(x, y).shape == (4, 5, 9, 3)
