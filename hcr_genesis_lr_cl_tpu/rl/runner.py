@@ -31,12 +31,17 @@ from hcr_genesis_lr_cl_tpu.rl.ppo import PPO, PPOState, Transition
 from hcr_genesis_lr_cl_tpu.rl import variants as valgs
 
 
+import dataclasses
+
+
 @struct.dataclass
 class RunnerState:
     env_state: object
     bundle: dict
     ppo: PPOState
     rng: jnp.ndarray
+    # runner-specific carry (e.g. RNN hidden state for RecurrentRunner)
+    aux: dict = dataclasses.field(default_factory=dict)
 
 
 class OnPolicyRunner:
@@ -396,12 +401,120 @@ class DreamWaQRunner(OnPolicyRunner):
         }
 
 
+class RecurrentRunner(OnPolicyRunner):
+    """LSTM/GRU policy training (VERDICT r1 missing-capability item 1).
+
+    Reference: rsl_rl OnPolicyRunner with ActorCriticRecurrent
+    (actor_critic_recurrent.py:40-120) + the recurrent minibatch generator.
+    Hidden state threads through the rollout scan (reset where done) and the
+    update replays the rollout from the stored initial hidden
+    (PPO_Recurrent.update_recurrent)."""
+
+    def make_network(self):
+        p = self.cfg.policy
+        from hcr_genesis_lr_cl_tpu.models.recurrent import ActorCriticRecurrent
+
+        return ActorCriticRecurrent(
+            num_actions=self.env.num_actions,
+            actor_hidden_dims=p.actor_hidden_dims,
+            critic_hidden_dims=p.critic_hidden_dims,
+            rnn_hidden_size=p.rnn_hidden_size,
+            rnn_type=p.rnn_type,
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+
+    def make_alg(self):
+        return valgs.PPO_Recurrent(self.network, self.cfg.algorithm,
+                                   self.cfg.policy)
+
+    def init_state(self, key) -> RunnerState:
+        st = super().init_state(key)
+        return st.replace(
+            aux={"hidden": self.alg.initial_hidden(self.env.num_envs)}
+        )
+
+    def _rollout(self, st: RunnerState):
+        def step(carry, _):
+            env_state, bundle, hidden, rng = carry
+            rng, k_act = jax.random.split(rng)
+            action, logp, value, mean, log_std, h_new = self.alg.act_recurrent(
+                st.ppo.params, k_act, bundle, hidden
+            )
+            env_state, out = self.env.step(env_state, action)
+            # reset hidden where the episode ended (reference
+            # actor_critic_recurrent.py:118-120); matches unroll's masking
+            nd = 1.0 - out.done.astype(jnp.float32)
+            h_new = jax.tree.map(lambda x: x * nd[:, None], h_new)
+            next_bundle = self.make_bundle(out.obs, out.privileged_obs, out.extras)
+            tr = Transition(
+                bundle=bundle, actions=action, rewards=out.rew, dones=out.done,
+                time_outs=out.time_out, values=value, log_probs=logp,
+                means=mean, log_stds=jnp.broadcast_to(log_std, mean.shape),
+            )
+            return (env_state, next_bundle, h_new, rng), (tr, out.metrics, out.rew)
+
+        h0 = st.aux["hidden"]
+        (env_state, bundle, hidden, rng), (batch, metrics, rews) = jax.lax.scan(
+            step, (st.env_state, st.bundle, h0, st.rng), None,
+            length=self.num_steps,
+        )
+        st = st.replace(env_state=env_state, bundle=bundle, rng=rng,
+                        aux={"hidden": hidden})
+        return st, batch, metrics, rews, h0
+
+    def train_iteration(self, st: RunnerState):
+        h0 = st.aux["hidden"]
+        st, batch, metrics, rews, h0 = self._rollout(st)
+        last_value = self.alg.value_recurrent(
+            st.ppo.params, st.bundle, st.aux["hidden"]
+        )
+        returns, advantages = gae_mod.compute_gae(
+            batch.rewards, batch.values, batch.dones, batch.time_outs,
+            last_value, self.cfg.algorithm.gamma, self.cfg.algorithm.lam,
+            normalize=False,
+        )
+        advantages = self.normalize_advantages(advantages)
+        ppo_state, info = self.alg.update_recurrent(
+            st.ppo, batch, returns, advantages, h0
+        )
+        st = st.replace(ppo=ppo_state)
+        cnt = jnp.maximum(jnp.sum(metrics["reset_count"]), 1.0)
+        ep_metrics = {}
+        for k, v in metrics.items():
+            if k == "reset_count":
+                continue
+            if k.startswith("cstr_"):
+                ep_metrics[k] = v.mean()
+            else:
+                ep_metrics[k] = jnp.sum(v * metrics["reset_count"]) / cnt
+        ep_metrics["episode_resets"] = jnp.sum(metrics["reset_count"])
+        ep_metrics["mean_step_reward"] = jnp.mean(rews)
+        ep_metrics["noise_std"] = jnp.mean(jnp.exp(st.ppo.params["params"]["log_std"]))
+        info.update(ep_metrics)
+        return st, info
+
+    def get_inference_policy(self, st: RunnerState):
+        """Stateful policy: fn(obs, hidden) -> (action_mean, hidden')."""
+
+        @jax.jit
+        def policy(obs, hidden):
+            mean, _, _, h = self.net_apply(st.ppo.params, obs, hidden)
+            return mean, h
+
+        return policy
+
+    def net_apply(self, params, obs, hidden):
+        return self.network.apply(params, obs, obs, hidden)
+
+
 RUNNERS = {
     "OnPolicyRunner": OnPolicyRunner,
     "TSRunner": TSRunner,
     "EERunner": EERunner,
     "CTSRunner": CTSRunner,
     "DreamWaQRunner": DreamWaQRunner,
+    "RecurrentRunner": RecurrentRunner,
 }
 
 

@@ -290,3 +290,157 @@ class PPO_DreamWaQ(PPO):
 
     def act_inference(self, params, obs, obs_history):
         return self.net.apply(params, obs, obs_history, method=self.net.act_inference)
+
+
+class PPO_Recurrent(PPO):
+    """Recurrent (LSTM/GRU) PPO.
+
+    Reference: rsl_rl trains RNN policies by splitting rollouts into padded
+    trajectories and slicing saved hidden states into minibatches
+    (actor_critic_recurrent.py:92-120, rollout_storage.py:187-236,
+    ppo.py:93-105). TPU-native inversion: the update REPLAYS the time-major
+    rollout through the RNN from the rollout's initial hidden state with
+    done-masked resets (models/recurrent.ActorCriticRecurrent.unroll) —
+    numerically the same trajectories, zero repacking, and only h0 is stored
+    instead of per-step hidden states. Minibatches are contiguous ENV slices
+    (the trajectory axis, like the reference's recurrent generator), selected
+    with the same rotated-offset scheme as PPO.update (gather-free)."""
+
+    def __init__(self, network, cfg: AlgorithmCfg, policy_cfg):
+        super().__init__(network, cfg)
+        self.pcfg = policy_cfg
+
+    def initial_hidden(self, n: int):
+        z = jnp.zeros((n, self.pcfg.rnn_hidden_size))
+        one = (z, z) if self.pcfg.rnn_type == "lstm" else z
+        import jax as _jax
+
+        mk = lambda: _jax.tree.map(lambda x: x, one)
+        return {"actor": mk(), "critic": mk()}
+
+    def example_bundle(self, dims):
+        return {
+            "obs": jnp.zeros((1, dims["obs"])),
+            "critic_obs": jnp.zeros((1, dims["critic_obs"])),
+        }
+
+    def init_params(self, key, b):
+        return self.net.init(
+            key, b["obs"], b["critic_obs"], self.initial_hidden(1)
+        )
+
+    def act_recurrent(self, params, key, bundle, hidden):
+        mean, value, log_std, h_new = self.net.apply(
+            params, bundle["obs"], bundle["critic_obs"], hidden
+        )
+        from hcr_genesis_lr_cl_tpu.models import networks as nets
+
+        action = nets.sample_action(key, mean, log_std)
+        logp = nets.gaussian_log_prob(mean, log_std, action)
+        return action, logp, value, mean, log_std, h_new
+
+    def value_recurrent(self, params, bundle, hidden):
+        _, value, _, _ = self.net.apply(
+            params, bundle["obs"], bundle["critic_obs"], hidden
+        )
+        return value
+
+    def _loss_recurrent(self, params, mb):
+        """mb fields are time-major (T, n, ...); h0 the pre-rollout hidden."""
+        from hcr_genesis_lr_cl_tpu.models import networks as nets
+
+        cfg = self.cfg
+        means, values, log_std = self.net.apply(
+            params, mb["obs"], mb["critic_obs"], mb["dones"], mb["h0"],
+            method=self.net.unroll,
+        )
+        T, n = mb["dones"].shape
+        flat = lambda z: z.reshape((T * n,) + z.shape[2:])
+        mean, value = flat(means), flat(values)
+        logp = nets.gaussian_log_prob(mean, log_std, flat(mb["actions"]))
+        ratio = jnp.exp(logp - flat(mb["log_probs"]))
+        adv = flat(mb["advantages"])
+        if cfg.use_spo:
+            surrogate = -jnp.mean(
+                adv * ratio
+                - jnp.abs(adv) * jnp.square(ratio - 1.0) / (2.0 * cfg.clip_param)
+            )
+        else:
+            s1 = -adv * ratio
+            s2 = -adv * jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param)
+            surrogate = jnp.mean(jnp.maximum(s1, s2))
+        returns, values_old = flat(mb["returns"]), flat(mb["values"])
+        if cfg.use_clipped_value_loss:
+            v_clip = values_old + jnp.clip(
+                value - values_old, -cfg.clip_param, cfg.clip_param
+            )
+            value_loss = jnp.mean(
+                jnp.maximum(jnp.square(value - returns), jnp.square(v_clip - returns))
+            )
+        else:
+            value_loss = jnp.mean(jnp.square(returns - value))
+        log_stdb = jnp.broadcast_to(log_std, mean.shape)
+        entropy = jnp.mean(nets.gaussian_entropy(log_stdb))
+        loss = surrogate + cfg.value_loss_coef * value_loss - cfg.entropy_coef * entropy
+        kl = jnp.mean(
+            nets.gaussian_kl(flat(mb["means"]), flat(mb["log_stds"]), mean, log_stdb)
+        )
+        return loss, (surrogate, value_loss, entropy, kl)
+
+    def update_recurrent(self, st: PPOState, batch, returns, advantages, h0):
+        """Epochs x env-slice minibatches over the time-major batch."""
+        cfg = self.cfg
+        T, N = batch.rewards.shape
+        mb_n = N // cfg.num_mini_batches
+        key, k_perm = jax.random.split(st.rng)
+        from hcr_genesis_lr_cl_tpu.rl.ppo import _rotated_minibatch_starts, _set_lr
+
+        starts = _rotated_minibatch_starts(
+            k_perm, cfg.num_learning_epochs, cfg.num_mini_batches, N, mb_n
+        )
+        seq = {
+            "obs": batch.bundle["obs"],
+            "critic_obs": batch.bundle["critic_obs"],
+            "dones": batch.dones.astype(jnp.float32),
+            "actions": batch.actions,
+            "log_probs": batch.log_probs,
+            "means": batch.means,
+            "log_stds": batch.log_stds,
+            "values": batch.values,
+            "returns": returns,
+            "advantages": advantages,
+        }
+        # double along the ENV axis so rotated minibatches are contiguous
+        seq2 = {k: jnp.concatenate([v, v], axis=1) for k, v in seq.items()}
+        h02 = jax.tree.map(lambda z: jnp.concatenate([z, z], axis=0), h0)
+
+        def minibatch_step(carry, inp):
+            params, opt_state, lr = carry
+            i, start = inp
+            mb = {
+                k: jax.lax.dynamic_slice_in_dim(v, start, mb_n, axis=1)
+                for k, v in seq2.items()
+            }
+            mb["h0"] = jax.tree.map(
+                lambda z: jax.lax.dynamic_slice_in_dim(z, start, mb_n, axis=0), h02
+            )
+            (loss, (sur, vl, ent, kl)), grads = jax.value_and_grad(
+                self._loss_recurrent, has_aux=True
+            )(params, mb)
+            lr = self._adapt_lr(lr, kl)
+            new_opt_state = _set_lr(opt_state, lr)
+            updates, new_opt_state = self.tx.update(grads, new_opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_opt_state, lr), jnp.stack([loss, sur, vl, ent, kl])
+
+        n_mb = starts.shape[0]
+        (params, opt_state, lr), stats = jax.lax.scan(
+            minibatch_step, (st.params, st.opt_state, st.lr),
+            (jnp.arange(n_mb), starts),
+        )
+        m = stats.mean(axis=0)
+        st = st.replace(params=params, opt_state=opt_state, lr=lr, rng=key)
+        return st, {
+            "loss": m[0], "surrogate_loss": m[1], "value_loss": m[2],
+            "entropy": m[3], "kl": m[4], "lr": lr,
+        }
