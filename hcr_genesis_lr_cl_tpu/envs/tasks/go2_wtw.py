@@ -9,8 +9,9 @@ resampled per episode segment and widened by a curriculum.
 
 The von-Mises "smooth" gait indicator (reference computes it with
 scipy.stats.vonmises.cdf on the CPU each step — go2_wtw.py:423-429) is
-implemented here as a normal-approximation CDF in jnp (erf-based), which is
-accurate for the reference's kappa=20 concentration and stays on-device.
+reproduced exactly on-device via a Fourier-series von-Mises CDF
+(utils.math.vonmises_cdf, matches scipy to ~7e-7 in f32), including the
+reference's -0.5 reshaping trick and standing-gait case (go2_wtw.py:438-454).
 """
 
 from __future__ import annotations
@@ -94,14 +95,14 @@ def go2_wtw_train_cfg() -> TrainCfg:
     )
 
 
-def _norm_cdf(x, sigma):
-    return 0.5 * (1.0 + jax.scipy.special.erf(x / (sigma * jnp.sqrt(2.0))))
-
-
 class Go2WTW(go2_task.Go2Env):
     def __init__(self, cfg, robot, terrain_seed: int = 0):
         super().__init__(cfg, robot, terrain_seed)
         p = cfg.rewards.periodic
+        self.vm_coeffs = (
+            hm.vonmises_cdf_coeffs(p.kappa)
+            if p.gait_function_type == "smooth" else None
+        )
         self.theta_table = np.stack(
             [p.theta_fl_list, p.theta_fr_list, p.theta_rl_list, p.theta_rr_list],
             axis=-1,
@@ -232,25 +233,15 @@ class Go2WTW(go2_task.Go2Env):
         )
 
     def _gait_indicators(self, state: EnvState):
-        """exp_C_spd, exp_C_frc per foot (go2_wtw.py:377-470)."""
+        """exp_C_spd, exp_C_frc per foot (go2_wtw.py:377-470), exact
+        reference semantics incl. the smooth-branch reshaping trick."""
         p = self.cfg.rewards.periodic
         e = state.extra
         phi = jnp.mod(e["phi"][:, None] + e["theta"], 1.0) * 2 * jnp.pi  # (N,4)
-        a_swing, b_swing, b_stance = 0.0, p.b_swing * 2 * jnp.pi, 2 * jnp.pi
-        if p.gait_function_type == "step":
-            in_swing = (phi >= a_swing) & (phi < b_swing)
-            exp_C_frc = jnp.where(in_swing, -1.0, 0.0)
-            exp_C_spd = jnp.where(in_swing, 0.0, -1.0)
-        else:  # smooth: normal approximation of the von-Mises phase CDF
-            sigma = 1.0 / jnp.sqrt(p.kappa)
-            F_A = _norm_cdf(phi - a_swing, sigma)
-            F_B = _norm_cdf(phi - b_swing, sigma)
-            F_C = _norm_cdf(phi - b_stance, sigma)
-            exp_swing = F_A * (1.0 - F_B)
-            exp_stance = F_B * (1.0 - F_C)
-            exp_C_frc = -exp_swing
-            exp_C_spd = -exp_stance
-        return exp_C_spd, exp_C_frc
+        return hm.gait_indicators(
+            phi, p.b_swing * 2 * jnp.pi, p.gait_function_type, p.kappa,
+            self.vm_coeffs,
+        )
 
     # ------------------------------------------------------------------
     # observations: 61-dim single frame x frame_stack

@@ -27,6 +27,7 @@ from hcr_genesis_lr_cl_tpu.core.config import (
 from hcr_genesis_lr_cl_tpu.envs.legged_env import EnvState
 from hcr_genesis_lr_cl_tpu.envs.tasks.tron1 import StackedBipedEnv
 from hcr_genesis_lr_cl_tpu.physics import sensors
+from hcr_genesis_lr_cl_tpu.utils import math as hm
 
 
 class TRON1PF_EE(StackedBipedEnv):
@@ -36,6 +37,11 @@ class TRON1PF_EE(StackedBipedEnv):
         super().__init__(cfg, robot, terrain_seed)
         self.kp_offset = 0.5 * (cfg.domain_rand.kp_range[0] + cfg.domain_rand.kp_range[1])
         self.kd_offset = 0.5 * (cfg.domain_rand.kd_range[0] + cfg.domain_rand.kd_range[1])
+        p = cfg.rewards.periodic
+        self.vm_coeffs = (
+            hm.vonmises_cdf_coeffs(p.kappa)
+            if p.gait_function_type == "smooth" else None
+        )
 
     # ---- gait clock carry (fixed biped gait; random phase per episode) ----
 
@@ -92,25 +98,15 @@ class TRON1PF_EE(StackedBipedEnv):
 
     def _gait_indicators(self, state: EnvState):
         """Per-foot exp_C_spd/exp_C_frc (reference _uniped_periodic_gait
-        :347-424; step + smooth variants, smooth via erf-approximated
-        von-Mises CDF as in go2_wtw)."""
+        tron1_pf_ee.py:347-424), exact step + smooth variants via the shared
+        von-Mises indicator (utils.math.gait_indicators)."""
         p = self.cfg.rewards.periodic
         e = state.extra
         phi = jnp.mod(e["phi"][:, None] + e["theta"], 1.0) * 2 * jnp.pi  # (N,2)
-        a_swing, b_swing, b_stance = 0.0, p.b_swing * 2 * jnp.pi, 2 * jnp.pi
-        if p.gait_function_type == "step":
-            in_swing = (phi >= a_swing) & (phi < b_swing)
-            exp_C_frc = jnp.where(in_swing, -1.0, 0.0)
-            exp_C_spd = jnp.where(in_swing, 0.0, -1.0)
-        else:
-            sigma = 1.0 / jnp.sqrt(p.kappa)
-            ncdf = lambda x: 0.5 * (1.0 + jax.lax.erf(x / (sigma * jnp.sqrt(2.0))))
-            F_A = ncdf(phi - a_swing)
-            F_B = ncdf(phi - b_swing)
-            F_C = ncdf(phi - b_stance)
-            exp_C_frc = -(F_A * (1.0 - F_B))
-            exp_C_spd = -(F_B * (1.0 - F_C))
-        return exp_C_spd, exp_C_frc
+        return hm.gait_indicators(
+            phi, p.b_swing * 2 * jnp.pi, p.gait_function_type, p.kappa,
+            self.vm_coeffs,
+        )
 
     # ---- observations ----
 

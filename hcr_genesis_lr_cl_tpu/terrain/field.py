@@ -20,8 +20,15 @@ from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
 from hcr_genesis_lr_cl_tpu.terrain.generators import BuiltTerrain, build_terrain
 
 
-PATCH_N = 24  # local-patch side length (cells); covers >= +-8 cells (~0.8 m)
+PATCH_N = 32  # local-patch side length (cells)
 TILE_STRIDE = 8  # tile grid stride (cells)
+# Worst-case guaranteed clearance (cells) from the fetch center to either
+# patch edge: the tile start lands within (-(M+8), -M] of the center, so the
+# short side is always >= M cells. The reference-parity 187-point height grid
+# reaches sqrt(0.8^2 + 0.5^2) = 0.943 m = 9.43 cells from the base once
+# yaw-rotated (config measured_points_* ranges, sensors.py), plus one cell
+# for the bilinear/min3 upper neighbor -> 10.43 needed < 11.5 guaranteed.
+PATCH_MARGIN = (PATCH_N - TILE_STRIDE) / 2 - 0.5  # = 11.5 cells
 
 
 @struct.dataclass
@@ -187,8 +194,10 @@ class TerrainField:
     # ---- per-env local patches (see TerrainPatch) ----
     def fetch_patches(self, center_xy) -> TerrainPatch:
         """One PATCH_N x PATCH_N tile per env, centered so every point within
-        +-TILE_STRIDE cells (0.8 m at 0.1 m scale) of `center_xy` is in the
-        window. center_xy: (N, >=2) world positions (e.g. base_pos)."""
+        +-PATCH_MARGIN cells (1.15 m at 0.1 m scale) of `center_xy` is in the
+        window — enough for the yaw-rotated 187-point sensor grid (0.943 m
+        reach) plus the bilinear upper neighbor. center_xy: (N, >=2) world
+        positions (e.g. base_pos)."""
         if self.is_plane:
             n = center_xy.shape[0]
             return TerrainPatch(
@@ -201,8 +210,12 @@ class TerrainField:
         hs = self.horizontal_scale
         gx = (center_xy[:, 0] - self.origin_xy[0]) / hs
         gy = (center_xy[:, 1] - self.origin_xy[1]) / hs
-        r = jnp.clip(jnp.floor(gx / TILE_STRIDE).astype(jnp.int32) - 1, 0, tr - 1)
-        c = jnp.clip(jnp.floor(gy / TILE_STRIDE).astype(jnp.int32) - 1, 0, tc - 1)
+        # nearest tile start to the centered window (gx - (PATCH_N-1)/2):
+        # floor((g - (PATCH_N-1)/2)/S + 1/2) puts the start within
+        # (g-(M+S), g-M], M = PATCH_MARGIN, so both edge margins are >= M
+        off = (PATCH_N - 1) / 2 - TILE_STRIDE / 2  # = 11.5
+        r = jnp.clip(jnp.floor((gx - off) / TILE_STRIDE).astype(jnp.int32), 0, tr - 1)
+        c = jnp.clip(jnp.floor((gy - off) / TILE_STRIDE).astype(jnp.int32), 0, tc - 1)
         patch = jnp.take(self.tiles, r * tc + c, axis=0).reshape(
             -1, PATCH_N, PATCH_N)
         origin = jnp.stack(

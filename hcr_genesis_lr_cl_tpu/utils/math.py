@@ -167,3 +167,91 @@ def skew(v):
 def rpy_to_rotmat(rpy):
     """URDF rpy (fixed-axis XYZ) -> rotation matrix."""
     return quat_to_rotmat(quat_from_euler_xyz(rpy[..., 0], rpy[..., 1], rpy[..., 2]))
+
+
+# ---------------------------------------------------------------------------
+# von-Mises phase CDF + OSU periodic-gait indicators (reference
+# go2_wtw.py:377-470 / tron1_pf_ee.py:314-424)
+# ---------------------------------------------------------------------------
+
+
+def vonmises_cdf_coeffs(kappa: float, n_terms: int = 48):
+    """Fourier coefficients I_j(kappa)/I_0(kappa) for the von-Mises CDF.
+
+    Host-side (numpy) precompute; kappa is a static config value. The ratios
+    are evaluated by numerically integrating the scaled integrand
+    exp(kappa*(cos t - 1)) so no scipy dependency and no overflow at large
+    kappa.
+    """
+    import numpy as _np
+
+    theta = _np.linspace(0.0, _np.pi, 40001)
+    w = _np.exp(kappa * (_np.cos(theta) - 1.0))
+    i0 = _np.trapezoid(w, theta)
+    js = _np.arange(1, n_terms + 1)
+    ij = _np.trapezoid(w[None, :] * _np.cos(js[:, None] * theta[None, :]),
+                       theta, axis=1)
+    return (ij / i0).astype(_np.float64)
+
+
+def vonmises_cdf(x, loc, coeffs):
+    """scipy.stats.vonmises.cdf(x, kappa, loc=loc) semantics, in jnp.
+
+    scipy evaluates the *unwrapped* Fourier series
+        F(t) = (t + pi) / (2 pi) + (1/pi) sum_j I_j/(j I_0) sin(j t),
+    t = x - loc, which runs outside [0, 1] when |t| > pi (verified against
+    scipy 1.17; the reference clips the result to [0, 1] afterwards,
+    go2_wtw.py:423-429). `coeffs` from :func:`vonmises_cdf_coeffs`.
+    """
+    t = jnp.asarray(x) - loc
+    js = jnp.arange(1, len(coeffs) + 1, dtype=t.dtype)
+    series = jnp.sum(
+        jnp.asarray(coeffs, dtype=t.dtype) / js * jnp.sin(js * t[..., None]),
+        axis=-1,
+    )
+    return (t + jnp.pi) / (2.0 * jnp.pi) + series / jnp.pi
+
+
+def gait_indicators(phi, b_swing, gait_function_type: str, kappa: float,
+                    coeffs=None):
+    """Expected C_spd / C_frc gait indicators (reference
+    _uniped_periodic_gait, go2_wtw.py:377-470).
+
+    phi: phase angle in radians, already offset per foot and wrapped to
+    [0, 2*pi). b_swing: swing-end angle in radians (scalar or broadcastable
+    per-env array; `b_swing == 0` is the standing gait). Returns
+    (exp_C_spd, exp_C_frc), each in [-1, 0].
+
+    The "smooth" branch reproduces the reference exactly: clipped von-Mises
+    CDFs, the paper-matching -0.5 reshaping trick with swing/stance
+    mirroring (go2_wtw.py:438-450), and the standing-gait override
+    (go2_wtw.py:451-454).
+    """
+    a_swing, b_stance = 0.0, 2.0 * jnp.pi
+    b_swing = jnp.asarray(b_swing)
+    if gait_function_type == "step":
+        in_swing = (phi >= a_swing) & (phi < b_swing)
+        # reference leaves phi == 2*pi (exactly) at zero in both branches;
+        # with phi wrapped to [0, 2*pi) the two-branch form is total
+        exp_C_frc = jnp.where(in_swing, -1.0, 0.0)
+        exp_C_spd = jnp.where(in_swing, 0.0, -1.0)
+        return exp_C_spd, exp_C_frc
+    if coeffs is None:
+        coeffs = vonmises_cdf_coeffs(kappa)
+    cdf = lambda loc: jnp.clip(vonmises_cdf(phi, loc, coeffs), 0.0, 1.0)
+    F_A_swing = cdf(a_swing)
+    F_B_swing = cdf(b_swing)
+    F_B_stance = cdf(b_stance)
+    exp_swing_ind = F_A_swing * (1.0 - F_B_swing)
+    exp_stance_ind = F_B_swing * (1.0 - F_B_stance)
+    exp_C_spd_ori = -exp_stance_ind
+    exp_C_frc_ori = -exp_swing_ind
+    in_swing = (phi >= a_swing) & (phi < b_swing)
+    # -0.5 reshaping trick: outside swing the frc curve mirrors spd around
+    # -0.5 (and vice versa inside swing) so the curves match the paper
+    exp_C_frc = jnp.where(in_swing, exp_C_frc_ori, -1.0 - exp_C_spd_ori)
+    exp_C_spd = jnp.where(in_swing, -1.0 - exp_C_frc_ori, exp_C_spd_ori)
+    standing = b_swing == a_swing
+    exp_C_frc = jnp.where(standing, 0.0, exp_C_frc)
+    exp_C_spd = jnp.where(standing, -1.0, exp_C_spd)
+    return exp_C_spd, exp_C_frc

@@ -1,0 +1,92 @@
+"""Exact von-Mises smooth gait indicator vs scipy (reference
+go2_wtw.py:420-454 / tron1_pf_ee.py:369-424).
+
+The reference computes the smooth indicator with scipy.stats.vonmises.cdf on
+the CPU each step, then applies a -0.5 reshaping trick with swing/stance
+mirroring and a standing-gait (b_swing == a_swing) override. These tests
+check our on-device Fourier-series implementation against a numpy
+transliteration of that exact torch code path on a dense phase grid.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcr_genesis_lr_cl_tpu.utils import math as hm
+
+scipy_stats = pytest.importorskip("scipy.stats")
+
+KAPPA = 20.0
+
+
+def _ref_smooth_indicators(phi, b_swing, kappa=KAPPA):
+    """numpy transliteration of the reference smooth branch
+    (go2_wtw.py:420-454): clipped scipy vonmises CDFs, reshaping trick,
+    standing-gait override."""
+    vm = scipy_stats.vonmises
+    a_swing, b_stance = 0.0, 2 * np.pi
+    F_A = np.clip(vm.cdf(phi, kappa=kappa, loc=a_swing), 0.0, 1.0)
+    F_B = np.clip(vm.cdf(phi, kappa=kappa, loc=b_swing), 0.0, 1.0)
+    F_C = np.clip(vm.cdf(phi, kappa=kappa, loc=b_stance), 0.0, 1.0)
+    exp_swing = F_A * (1.0 - F_B)
+    exp_stance = F_B * (1.0 - F_C)
+    spd_ori, frc_ori = -exp_stance, -exp_swing
+    frc = -1.0 - spd_ori
+    spd = spd_ori.copy()
+    in_swing = (phi >= a_swing) & (phi < b_swing)
+    frc[in_swing] = frc_ori[in_swing]
+    spd[in_swing] = -1.0 - frc_ori[in_swing]
+    if b_swing == a_swing:  # standing gait
+        frc[:] = 0.0
+        spd[:] = -1.0
+    return spd, frc
+
+
+def test_vonmises_cdf_matches_scipy():
+    co = hm.vonmises_cdf_coeffs(KAPPA)
+    xs = np.linspace(0.0, 2 * np.pi, 1001)
+    for loc in (0.0, 0.5 * 2 * np.pi, 2 * np.pi):
+        ours = np.asarray(hm.vonmises_cdf(jnp.asarray(xs), loc, co))
+        ref = scipy_stats.vonmises.cdf(xs, kappa=KAPPA, loc=loc)
+        np.testing.assert_allclose(ours, ref, atol=2e-6)
+
+
+@pytest.mark.parametrize("b_swing_frac", [0.5, 0.25, 0.75, 0.0])
+def test_smooth_indicator_matches_reference(b_swing_frac):
+    co = hm.vonmises_cdf_coeffs(KAPPA)
+    phi = np.linspace(0.0, 2 * np.pi, 2001, endpoint=False)
+    b = b_swing_frac * 2 * np.pi
+    spd_r, frc_r = _ref_smooth_indicators(phi, b)
+    spd_o, frc_o = hm.gait_indicators(jnp.asarray(phi), b, "smooth", KAPPA, co)
+    np.testing.assert_allclose(np.asarray(spd_o), spd_r, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(frc_o), frc_r, atol=3e-6)
+
+
+def test_step_indicator():
+    phi = np.linspace(0.0, 2 * np.pi, 801, endpoint=False)
+    b = 0.5 * 2 * np.pi
+    spd, frc = hm.gait_indicators(jnp.asarray(phi), b, "step", KAPPA)
+    in_swing = phi < b
+    np.testing.assert_array_equal(np.asarray(frc), np.where(in_swing, -1.0, 0.0))
+    np.testing.assert_array_equal(np.asarray(spd), np.where(in_swing, 0.0, -1.0))
+
+
+def test_tasks_use_exact_indicator():
+    """Go2WTW/TRON1PF_EE produce the reference curve through their own
+    phase plumbing (theta offsets + wrap)."""
+    from hcr_genesis_lr_cl_tpu.envs import registry
+
+    for task, nfeet in (("go2_wtw", 4), ("tron1_pf_ee", 2)):
+        env = registry.make_env(task, num_envs=4)
+        cfg_p = env.cfg.rewards.periodic
+        if cfg_p.gait_function_type != "smooth":
+            # force smooth path directly through the helper the task calls
+            co = hm.vonmises_cdf_coeffs(cfg_p.kappa)
+            phi = np.linspace(0.0, 2 * np.pi, 257, endpoint=False)
+            spd_r, frc_r = _ref_smooth_indicators(phi, cfg_p.b_swing * 2 * np.pi,
+                                                  cfg_p.kappa)
+            spd_o, frc_o = hm.gait_indicators(
+                jnp.asarray(phi), cfg_p.b_swing * 2 * np.pi, "smooth",
+                cfg_p.kappa, co)
+            np.testing.assert_allclose(np.asarray(spd_o), spd_r, atol=3e-6)
+            np.testing.assert_allclose(np.asarray(frc_o), frc_r, atol=3e-6)
