@@ -228,21 +228,36 @@ class OnPolicyRunner:
     # ------------------------------------------------------------------
 
     def save(self, st: RunnerState, path: str):
+        """Full training state: policy/opt (legacy keys, loadable by play and
+        export with any env count) PLUS the complete RunnerState — env
+        curriculum + command ranges, PRNG keys, obs-history buffers, RNN
+        hidden — for bit-deterministic resume (SURVEY 5.4/7.1; the reference
+        restores only learning state, on_policy_runner.py:240-254)."""
         payload = {
             "params": serialization.to_bytes(st.ppo.params),
             "opt_state": serialization.to_bytes(st.ppo.opt_state),
             "lr": float(st.ppo.lr),
             "iter": self.iter,
+            "runner_state": serialization.to_bytes(jax.device_get(st)),
+            "num_envs": self.env.num_envs,
         }
         with open(path, "wb") as f:
             pickle.dump(payload, f)
 
-    def load(self, st: RunnerState, path: str) -> RunnerState:
+    def load(self, st: RunnerState, path: str, policy_only: bool = False) -> RunnerState:
+        """Restore from `save`. Default: full deterministic resume when the
+        checkpoint's env count matches (falls back to policy-only otherwise —
+        e.g. play's <=32-env override). policy_only=True forces the legacy
+        params/opt/lr restore."""
         with open(path, "rb") as f:
             payload = pickle.load(f)
+        self.iter = payload["iter"]
+        full = payload.get("runner_state")
+        if (not policy_only and full is not None
+                and payload.get("num_envs") == self.env.num_envs):
+            return serialization.from_bytes(st, full)
         params = serialization.from_bytes(st.ppo.params, payload["params"])
         opt_state = serialization.from_bytes(st.ppo.opt_state, payload["opt_state"])
-        self.iter = payload["iter"]
         return st.replace(
             ppo=st.ppo.replace(
                 params=params, opt_state=opt_state, lr=jnp.float32(payload["lr"])

@@ -47,7 +47,7 @@ def evaluate(args):
         exp_dir = os.path.join(args.logdir_root, tcfg.runner.experiment_name)
         ckpt = find_checkpoint(exp_dir, args.load_run, args.checkpoint)
         print(f"loading {ckpt}")
-        st = runner.load(st, ckpt)
+        st = runner.load(st, ckpt, policy_only=True)
 
     # constraint evaluator: a CaT env used purely as the measurement harness
     # (the TS policy gets evaluated under the same constraint definitions)

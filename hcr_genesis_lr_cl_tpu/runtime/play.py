@@ -69,7 +69,7 @@ def play(args):
         exp_dir = os.path.join(args.logdir_root, tcfg.runner.experiment_name)
         ckpt = find_checkpoint(exp_dir, args.load_run, args.checkpoint)
         print(f"loading {ckpt}")
-        st = runner.load(st, ckpt)
+        st = runner.load(st, ckpt, policy_only=True)
 
     if args.export_policy:
         from hcr_genesis_lr_cl_tpu.models.export import export_policy

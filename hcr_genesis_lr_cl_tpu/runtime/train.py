@@ -47,14 +47,30 @@ def get_args(argv=None):
 
 
 def find_checkpoint(exp_dir: str, load_run: str, checkpoint: int) -> str:
-    """Latest-run/-checkpoint discovery (reference helpers.py:48-70)."""
+    """Latest-run/-checkpoint discovery (reference helpers.py:48-70).
+
+    With load_run=-1, runs without any model_*.ckpt are skipped — the
+    resuming process has already created (empty) its own log dir, which
+    would otherwise always be "latest"."""
+    def _cks(run_dir):
+        return sorted(
+            (f for f in os.listdir(run_dir)
+             if f.startswith("model_") and f.endswith(".ckpt")),
+            key=lambda f: int(f.split("_")[1].split(".")[0]),
+        )
+
     runs = sorted(d for d in os.listdir(exp_dir) if os.path.isdir(os.path.join(exp_dir, d)))
-    run = runs[-1] if load_run in ("-1", -1) else load_run
+    if load_run in ("-1", -1):
+        runs = [d for d in runs if _cks(os.path.join(exp_dir, d))]
+        if not runs:
+            raise FileNotFoundError(f"no run with checkpoints under {exp_dir}")
+        run = runs[-1]
+    else:
+        run = load_run
     run_dir = os.path.join(exp_dir, run)
-    cks = sorted(
-        (f for f in os.listdir(run_dir) if f.startswith("model_") and f.endswith(".ckpt")),
-        key=lambda f: int(f.split("_")[1].split(".")[0]),
-    )
+    cks = _cks(run_dir)
+    if checkpoint == -1 and not cks:
+        raise FileNotFoundError(f"no model_*.ckpt in {run_dir}")
     name = cks[-1] if checkpoint == -1 else f"model_{checkpoint}.ckpt"
     return os.path.join(run_dir, name)
 

@@ -150,3 +150,68 @@ class TestShardedTraining:
         np.testing.assert_allclose(
             float(info1["kl"]), float(info2["kl"]), rtol=1e-3, atol=1e-6
         )
+
+
+class TestFullCheckpointResume:
+    def test_deterministic_resume(self, tmp_path):
+        """save -> continue vs save -> load-into-fresh-runner -> continue:
+        identical parameters AND identical env/curriculum/PRNG trajectory
+        (SURVEY 5.4/7.1; the full RunnerState — env curriculum state, RNG,
+        obs history — must round-trip, not just the policy)."""
+        from hcr_genesis_lr_cl_tpu.envs import registry
+        from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+
+        env = registry.make_env("go2", num_envs=8)
+        _, tcfg = registry.get_cfgs("go2")
+        tcfg = tcfg.replace(
+            runner=tcfg.runner.replace(num_steps_per_env=4),
+            algorithm=tcfg.algorithm.replace(
+                num_learning_epochs=1, num_mini_batches=1),
+        )
+        runner = OnPolicyRunner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(runner.train_iteration)
+        for _ in range(2):
+            st, _ = step(st)
+        path = str(tmp_path / "model_2.ckpt")
+        runner.save(st, path)
+
+        # branch A: continue in place
+        st_a, info_a = step(st)
+        # branch B: fresh runner, different init seed, restore, continue
+        runner_b = OnPolicyRunner(env, tcfg)
+        st_b = runner_b.init_state(jax.random.PRNGKey(123))
+        st_b = runner_b.load(st_b, path)
+        assert runner_b.iter == runner.iter
+        st_b, info_b = step(st_b)
+
+        for a, b in zip(jax.tree.leaves(st_a.ppo.params),
+                        jax.tree.leaves(st_b.ppo.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # env-side state (curriculum ranges, episode lengths, PRNG keys)
+        for a, b in zip(jax.tree.leaves(st_a.env_state),
+                        jax.tree.leaves(st_b.env_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(info_a["loss"]) == float(info_b["loss"])
+
+    def test_policy_only_load_across_env_counts(self, tmp_path):
+        """play's <=32-env override loads a 8-env checkpoint into a 4-env
+        runner: params restore, env state stays the fresh runner's."""
+        from hcr_genesis_lr_cl_tpu.envs import registry
+        from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+
+        env8 = registry.make_env("go2", num_envs=8)
+        _, tcfg = registry.get_cfgs("go2")
+        r8 = OnPolicyRunner(env8, tcfg)
+        st8 = r8.init_state(jax.random.PRNGKey(0))
+        path = str(tmp_path / "model_0.ckpt")
+        r8.save(st8, path)
+
+        env4 = registry.make_env("go2", num_envs=4)
+        r4 = OnPolicyRunner(env4, tcfg)
+        st4 = r4.init_state(jax.random.PRNGKey(7))
+        st4 = r4.load(st4, path)  # auto-falls back to policy-only
+        for a, b in zip(jax.tree.leaves(st8.ppo.params),
+                        jax.tree.leaves(st4.ppo.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert st4.env_state.episode_length.shape[0] == 4
