@@ -481,6 +481,10 @@ class AlgorithmCfg(_Cfg):
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
     use_spo: bool = False  # Simple Policy Optimization (quadratic penalty surrogate)
+    # "randperm" = reference-exact minibatching (one randperm per update,
+    # reused across epochs, rollout_storage.py:156); "rotated" = the legacy
+    # gather-free approximation (kept for the A/B in tests/bench)
+    minibatch_scheme: str = "randperm"
     # variant extras
     encoder_learning_rate: float = 1.0e-3
     estimator_learning_rate: float = 1.0e-3

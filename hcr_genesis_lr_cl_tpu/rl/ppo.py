@@ -180,18 +180,31 @@ class PPO:
         flat, total = self.flatten_batch(batch, returns, advantages)
         mb_size = total // cfg.num_mini_batches
         key, k_perm, k_extra, k_loss = jax.random.split(st.rng, 4)
-        # Minibatch selection WITHOUT row gathers: random-index gathers are
-        # pathologically slow on the TPU backend (measured ~0.7 s per 24k-row
-        # gather, 200x the update's compute). Instead each epoch draws a
-        # random rotation offset and visits minibatches in a (tiny) permuted
-        # order; minibatches are contiguous dynamic slices of the doubled
-        # flat buffer. The reference's exact randperm (rollout_storage.py:156)
-        # is approximated: every sample is visited once per epoch, epoch
-        # boundaries rotate randomly; only within-batch mixing is coarser.
-        starts = _rotated_minibatch_starts(
-            k_perm, cfg.num_learning_epochs, cfg.num_mini_batches, total, mb_size
-        )
-        flat2 = {k: jnp.concatenate([v, v], axis=0) for k, v in flat.items()}
+        if cfg.minibatch_scheme == "randperm":
+            # Reference-exact minibatching (rollout_storage.py:148-163): ONE
+            # randperm over T*N per update, reused across epochs; minibatches
+            # are contiguous slices of the permuted buffer. (The old
+            # rotated-slices approximation existed because random-index
+            # gathers once cost ~0.7 s on the tunnel runtime; re-measured
+            # 2026-08-20 the full 98k-row permutation gather is 0.54 ms, so
+            # the exact scheme is now free. A/B on go2 flat: rotated slices
+            # feed each minibatch only ~6 adjacent time steps of all envs —
+            # within-minibatch temporally correlated gradients.)
+            perm = jax.random.permutation(k_perm, total)
+            flat2 = {k: v[perm] for k, v in flat.items()}
+            starts = jnp.tile(
+                jnp.arange(cfg.num_mini_batches) * mb_size,
+                cfg.num_learning_epochs,
+            )
+        else:
+            # legacy gather-free approximation: each epoch draws a random
+            # rotation offset and visits minibatches in a permuted order;
+            # minibatches are contiguous dynamic slices of the doubled buffer
+            starts = _rotated_minibatch_starts(
+                k_perm, cfg.num_learning_epochs, cfg.num_mini_batches, total,
+                mb_size,
+            )
+            flat2 = {k: jnp.concatenate([v, v], axis=0) for k, v in flat.items()}
 
         def minibatch_step(carry, inp):
             params, opt_state, lr = carry
