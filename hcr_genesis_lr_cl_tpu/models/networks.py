@@ -42,6 +42,32 @@ class MLP(nn.Module):
         return x
 
 
+def std_param(module):
+    """The action-noise parameter, parameterized DIRECTLY as std (reference:
+    rsl_rl/modules/actor_critic.py:87 `nn.Parameter(init_noise_std * ones)`).
+
+    The parameterization is load-bearing for training stability, not a
+    convention: with a log_std parameter, the entropy bonus's gradient is a
+    CONSTANT (-entropy_coef) per dim, so Adam walks log_std up ~lr per step
+    -> std grows EXPONENTIALLY while the clipped-reward signal is still
+    sparse, and go2 flat training collapses (std 1->7 by iter ~380, then
+    physics NaN — measured 2026-08-20). With the reference's direct-std
+    parameter the same race is linear in std and the tracking signal wins,
+    matching rsl_rl's observed dynamics (std ~1 early, decaying as tracking
+    locks in)."""
+    return module.param(
+        "std", lambda k: jnp.full((module.num_actions,), module.init_noise_std)
+    )
+
+
+def log_of_std(std):
+    """log(std) consumed by the Gaussian helpers; |.| with a floor guards
+    log(<=0) if the optimizer ever drives std through zero (the reference's
+    torch.distributions.Normal would raise there; saturating keeps the kernel
+    total and the mirrored gradient pushes std back out)."""
+    return jnp.log(jnp.maximum(jnp.abs(std), 1e-6))
+
+
 class ActorCritic(nn.Module):
     """Gaussian MLP policy + value function with state-independent learned std."""
 
@@ -54,12 +80,10 @@ class ActorCritic(nn.Module):
     def setup(self):
         self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
         self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
-        self.log_std = self.param(
-            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
-        )
+        self.std = std_param(self)
 
     def __call__(self, obs, critic_obs):
-        return self.actor(obs), self.critic(critic_obs)[..., 0], self.log_std
+        return self.actor(obs), self.critic(critic_obs)[..., 0], log_of_std(self.std)
 
     def act_mean(self, obs):
         return self.actor(obs)

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from hcr_genesis_lr_cl_tpu.models import networks as nets
+
 from hcr_genesis_lr_cl_tpu.models.networks import MLP
 
 
@@ -57,9 +59,7 @@ class ActorCriticRecurrent(nn.Module):
         self.memory_c = RecurrentCore(self.rnn_hidden_size, self.rnn_type)
         self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
         self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
-        self.log_std = self.param(
-            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
-        )
+        self.std = nets.std_param(self)
 
     def initial_state(self, batch: int):
         return {
@@ -74,7 +74,7 @@ class ActorCriticRecurrent(nn.Module):
         return (
             self.actor(xa),
             self.critic(xc)[..., 0],
-            self.log_std,
+            nets.log_of_std(self.std),
             {"actor": ha, "critic": hc},
         )
 
@@ -95,4 +95,4 @@ class ActorCriticRecurrent(nn.Module):
         _, (means, values) = jax.lax.scan(
             step, hidden0, (obs_seq, critic_obs_seq, dones_seq)
         )
-        return means, values, self.log_std
+        return means, values, nets.log_of_std(self.std)

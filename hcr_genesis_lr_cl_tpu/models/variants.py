@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from hcr_genesis_lr_cl_tpu.models import networks as nets
+
 from hcr_genesis_lr_cl_tpu.models.networks import _ACTIVATIONS, MLP
 
 
@@ -79,16 +81,14 @@ class ActorCriticTS(nn.Module):
             )
         self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
         self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
-        self.log_std = self.param(
-            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
-        )
+        self.std = nets.std_param(self)
 
     def __call__(self, obs, privileged_obs, obs_history, critic_obs):
         m = self.act_teacher(obs, privileged_obs)
         v = self.value(critic_obs)
         s = self.act_student(obs, obs_history)
         e = self.encode_history(obs_history)
-        return m, v, s, e, self.log_std
+        return m, v, s, e, nets.log_of_std(self.std)
 
     def encode_privilege(self, privileged_obs):
         return self.privilege_encoder(privileged_obs)
@@ -126,12 +126,10 @@ class ActorCriticEE(nn.Module):
         )
         self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
         self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
-        self.log_std = self.param(
-            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
-        )
+        self.std = nets.std_param(self)
 
     def __call__(self, features, critic_obs):
-        return self.act_mean(features), self.value(critic_obs), self.log_std
+        return self.act_mean(features), self.value(critic_obs), nets.log_of_std(self.std)
 
     def estimate(self, features):
         return self.estimator(features)
@@ -176,13 +174,11 @@ class ActorCriticCTS(nn.Module):
             )
         self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
         self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
-        self.log_std = self.param(
-            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
-        )
+        self.std = nets.std_param(self)
 
     def __call__(self, obs, privileged_obs, obs_history, critic_obs, teacher_mask):
         m = self.act_mixed(obs, privileged_obs, obs_history, teacher_mask)
-        return m, self.value(critic_obs), self.log_std
+        return m, self.value(critic_obs), nets.log_of_std(self.std)
 
     def encode_privilege(self, privileged_obs):
         return self.privilege_encoder(privileged_obs)
@@ -278,14 +274,12 @@ class ActorCriticDreamWaQ(nn.Module):
         )
         self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
         self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
-        self.log_std = self.param(
-            "log_std", lambda k: jnp.full((self.num_actions,), jnp.log(self.init_noise_std))
-        )
+        self.std = nets.std_param(self)
 
     def __call__(self, obs, obs_history, critic_obs, rng):
         m, (z, vel), _ = self.act_sampled(obs, obs_history, rng)
         recon = self.vae.decode(z, vel)  # touch the decoder so init creates it
-        return m, self.value(critic_obs), self.log_std, recon
+        return m, self.value(critic_obs), nets.log_of_std(self.std), recon
 
     def act_sampled(self, obs, obs_history, rng):
         (z, vel), params = self.vae(obs_history, rng)

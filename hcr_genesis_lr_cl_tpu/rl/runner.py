@@ -154,7 +154,7 @@ class OnPolicyRunner:
                 ep_metrics[k] = jnp.sum(v * metrics["reset_count"]) / cnt
         ep_metrics["episode_resets"] = jnp.sum(metrics["reset_count"])
         ep_metrics["mean_step_reward"] = jnp.mean(rews)
-        ep_metrics["noise_std"] = jnp.mean(jnp.exp(st.ppo.params["params"]["log_std"]))
+        ep_metrics["noise_std"] = jnp.mean(jnp.abs(st.ppo.params["params"]["std"]))
         info.update(ep_metrics)
         return st, info
 
@@ -505,7 +505,7 @@ class RecurrentRunner(OnPolicyRunner):
                 ep_metrics[k] = jnp.sum(v * metrics["reset_count"]) / cnt
         ep_metrics["episode_resets"] = jnp.sum(metrics["reset_count"])
         ep_metrics["mean_step_reward"] = jnp.mean(rews)
-        ep_metrics["noise_std"] = jnp.mean(jnp.exp(st.ppo.params["params"]["log_std"]))
+        ep_metrics["noise_std"] = jnp.mean(jnp.abs(st.ppo.params["params"]["std"]))
         info.update(ep_metrics)
         return st, info
 

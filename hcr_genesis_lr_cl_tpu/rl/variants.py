@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from hcr_genesis_lr_cl_tpu.core.config import AlgorithmCfg
+from hcr_genesis_lr_cl_tpu.models import networks as nets
 from hcr_genesis_lr_cl_tpu.rl.ppo import PPO, PPOState, make_param_mask
 
 
@@ -61,7 +62,7 @@ class PPO_TS(PPO):
             params, b["obs"], b["privileged_obs"], method=self.net.act_teacher
         )
         value = self.net.apply(params, b["critic_obs"], method=self.net.value)
-        return mean, value, params["params"]["log_std"]
+        return mean, value, nets.log_of_std(params["params"]["std"])
 
     def init_extra_opt(self, params):
         self.enc_tx = _masked_adam(
@@ -128,7 +129,7 @@ class PPO_EE(PPO):
     def policy_mean_value(self, params, b, key=None):
         mean = self.net.apply(params, b["obs"], method=self.net.act_mean)
         value = self.net.apply(params, b["critic_obs"], method=self.net.value)
-        return mean, value, params["params"]["log_std"]
+        return mean, value, nets.log_of_std(params["params"]["std"])
 
     def init_extra_opt(self, params):
         self.est_tx = _masked_adam(
@@ -198,7 +199,7 @@ class PPO_CTS(PPO):
             b["teacher_mask"], method=self.net.act_mixed,
         )
         value = self.net.apply(params, b["critic_obs"], method=self.net.value)
-        return mean, value, params["params"]["log_std"]
+        return mean, value, nets.log_of_std(params["params"]["std"])
 
     def init_extra_opt(self, params):
         self.enc_tx = _masked_adam(
@@ -235,7 +236,7 @@ class PPO_DreamWaQ(PPO):
             params, b["obs"], b["obs_history"], key, method=self.net.act_sampled
         )
         value = self.net.apply(params, b["critic_obs"], method=self.net.value)
-        return mean, value, params["params"]["log_std"]
+        return mean, value, nets.log_of_std(params["params"]["std"])
 
     def init_extra_opt(self, params):
         self.vae_tx = _masked_adam(self.cfg.vae_learning_rate, params, ("vae",))
