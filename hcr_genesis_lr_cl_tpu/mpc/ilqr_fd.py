@@ -38,11 +38,19 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    interpret: bool = False, eps: float = 1e-3,
                    dyn_override=None, relin_every: int = 1,
                    lin_chunks: int = 1, lin_stride: int = 1,
-                   backward_matmul_dtype=None, backward_mode: str = "lanes"):
+                   backward_matmul_dtype=None, backward_mode: str = "lanes",
+                   forward_mode: str = "scan"):
     """backward_mode: "lanes" (default) runs the backward pass in the Pallas
     lane-major kernel (ops/riccati_kernel.py, ~4.7x the packed recursion at
     S=1024 on v5e, and skips the Jacobian jnp.repeat when lin_stride > 1);
-    "packed" keeps the XLA packed-Q scan (mpc/riccati.py)."""
+    "packed" keeps the XLA packed-Q scan (mpc/riccati.py).
+
+    forward_mode: "fused" runs the initial rollout and the line-search
+    rollouts in the horizon-fused Pallas kernel (ops/rollout_kernel.py —
+    whole T in ONE dispatch, state carried in VMEM, closed-loop control law
+    in-kernel), replacing the T-sequential lax.scan whose per-step dispatch
+    latency dominated the solve; "scan" keeps the scan-over-control-steps
+    path (required when dyn_override is given)."""
     T = horizon
     nx = mdyn.nx(mm.model)
     nu = mm.model.nj
@@ -89,15 +97,26 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
     def term_cost(p, x):
         return mcosts.terminal_cost(mm, weights, p, x)
 
-    def rollout(x0, us):
-        """x0 (B, nx), us (B, T, nu) -> xs (B, T+1, nx)."""
+    if forward_mode == "fused":
+        if dyn_override is not None:
+            raise ValueError("forward_mode='fused' rolls out the kernel "
+                             "dynamics; incompatible with dyn_override")
+        from hcr_genesis_lr_cl_tpu.ops import rollout_kernel as rkn
 
-        def f(x, u):
-            xn = dyn_batch(x, to_topo(u))
-            return xn, xn
+        rollout = rkn.make_horizon_rollout(mm, T, block_b=block_b,
+                                           interpret=interpret)
+        _ls_rollout = rkn.make_horizon_rollout(mm, T, block_b=block_b,
+                                               ls=True, interpret=interpret)
+    else:
+        def rollout(x0, us):
+            """x0 (B, nx), us (B, T, nu) -> xs (B, T+1, nx)."""
 
-        _, xs = jax.lax.scan(f, x0, jnp.swapaxes(us, 0, 1))
-        return jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+            def f(x, u):
+                xn = dyn_batch(x, to_topo(u))
+                return xn, xn
+
+            _, xs = jax.lax.scan(f, x0, jnp.swapaxes(us, 0, 1))
+            return jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
 
     def total_cost(params, xs, us):
         """(S, T+1, nx), (S, T, nu) -> (S,)."""
@@ -163,6 +182,10 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         x0b = rep(x0)
         xsb, usb, ksb, Ksb = rep(xs), rep(us), rep(ks), rep(Ks)
 
+        if forward_mode == "fused":
+            xs_n, us_n = _ls_rollout(x0b, xsb, usb, ksb, Ksb, al)
+            return _select_best(params, S, rep, xs_n, us_n)
+
         def fstep(x, inp):
             x_bar, u_bar, k, K = inp
             # alpha scales the feedback too: near stiff contact |K| ~ 1e5+,
@@ -187,6 +210,9 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         _, (xs_n, us_n) = jax.lax.scan(fstep, x0b, inp)
         xs_n = jnp.concatenate([x0b[:, None], jnp.swapaxes(xs_n, 0, 1)], axis=1)
         us_n = jnp.swapaxes(us_n, 0, 1)
+        return _select_best(params, S, rep, xs_n, us_n)
+
+    def _select_best(params, S, rep, xs_n, us_n):
         pb = jax.tree.map(rep, params)
         costs = total_cost(pb, xs_n, us_n)  # (A*S,) — on the RAW rollouts
         # sanitize diverged candidates with FINITE sentinels: the one-hot

@@ -1,0 +1,216 @@
+"""Pallas TPU kernel: the fused HORIZON rollout (T control steps, one dispatch).
+
+The iLQR solve's forward passes (initial rollout + line-search rollouts) were
+T-sequential `lax.scan`s over the single-control-step kernel: 50 scan steps,
+each a separate kernel launch whose state round-trips HBM, plus XLA glue
+(transposes, feedback matvec) between launches. Per tools/profile_mpc.py the
+scans are LATENCY-bound — per-step time is flat in batch size — so the whole
+horizon is fused into ONE pallas_call here:
+
+- grid = (B/block_b, T) with T the minor (sequential) dimension; the state
+  carries across grid steps in VMEM scratch (initialized from x0 at t == 0,
+  exactly the carry pattern of ops/riccati_kernel.py);
+- per-step inputs (controls; for the line search also the nominal trajectory
+  and the feedback gains k/K) stream in via BlockSpec index maps — Pallas
+  pipelines their DMA against compute automatically;
+- the closed-loop control law u = clip(u_bar + alpha*(k + K(x - x_bar))) is
+  evaluated IN-KERNEL (nu x nx multiply-adds on the VPU), so the line search
+  needs no per-step XLA glue at all;
+- states for every t stream OUT the same way (the cost evaluation and the
+  linearization knots need the whole trajectory).
+
+Controls are accepted in the task's USER dof order; the static user->topo
+permutation is applied in-kernel (free: it is a compile-time reindexing of
+the per-joint rows).
+
+Flat-plane terrain only, like mpc/fast_dynamics.make_kernel_dyn (the FD
+solver's scope; heightfield MPC keeps the autodiff path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hcr_genesis_lr_cl_tpu.core.config import ControlCfg, SimCfg
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.ops import substep as ss
+
+
+def _unpack_rows(C, ref_rows):
+    nj = C.nj
+    return {
+        "quat": ref_rows[0:4],
+        "pos": ref_rows[4:7],
+        "v": ref_rows[7:13],
+        "q": ref_rows[13 : 13 + nj],
+        "qd": ref_rows[13 + nj : 13 + 2 * nj],
+    }
+
+
+def _kernel(C, ls, uidx, u_lo, u_hi, friction, *refs):
+    nj = C.nj
+    nx = 13 + 2 * nj
+    if ls:
+        (x0_ref, xbar_ref, ubar_ref, k_ref, K_ref, al_ref,
+         xs_o, us_o, st_ref) = refs
+    else:
+        x0_ref, us_ref, xs_o, st_ref = refs
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        st_ref[...] = x0_ref[...]
+
+    x = [st_ref[i, :] for i in range(nx)]
+    ones = x[0] * 0.0 + 1.0
+
+    # ---- control law ----
+    if ls:
+        al = al_ref[0, :]
+        dx = [x[i] - xbar_ref[0, i, :] for i in range(nx)]
+        u_user = [None] * nj
+        for j in range(nj):
+            acc = k_ref[0, j, :]
+            for i in range(nx):
+                acc = acc + K_ref[0, j * nx + i, :] * dx[i]
+            u = ubar_ref[0, j, :] + al * acc
+            u_user[j] = jnp.clip(u, u_lo[j], u_hi[j])
+    else:
+        u_user = [us_ref[0, j, :] for j in range(nj)]
+    # static user->topo reindex: topo joint uidx[j] is driven by user row j
+    u_topo = [None] * nj
+    for j in range(nj):
+        u_topo[uidx[j]] = u_user[j]
+
+    target = [u_topo[j] * C.action_scale + C.default_q[j] for j in range(nj)]
+    st = _unpack_rows(C, x)
+    zero = x[0] * 0.0
+    dr = {
+        "friction": friction * ones,
+        "added_mass": zero,
+        "com_bias": [zero, zero, zero],
+        "kp_scale": [ones] * nj,
+        "kd_scale": [ones] * nj,
+    }
+    carry = st | {
+        "tau": [zero] * nj,
+        "slot_f": ([zero] * C.num_slots, [zero] * C.num_slots,
+                   [zero] * C.num_slots),
+    }
+
+    def body(_, c):
+        return ss.substep(
+            C, {k: c[k] for k in ("quat", "pos", "v", "q", "qd")}, dr, target
+        )
+
+    out = jax.lax.fori_loop(0, C.n_inner, body, carry)
+
+    rows = out["quat"] + out["pos"] + out["v"] + out["q"] + out["qd"]
+    for i in range(nx):
+        st_ref[i, :] = rows[i]
+        xs_o[0, i, :] = rows[i]
+    if ls:
+        for j in range(nj):
+            us_o[0, j, :] = u_user[j]
+
+
+def make_horizon_rollout(mm: mdyn.MpcModel, horizon: int, block_b: int = 512,
+                         ls: bool = False, interpret: bool = False):
+    """Open-loop: f(x0 (B,nx), us (B,T,nu_user)) -> xs (B,T+1,nx).
+
+    Line-search (ls=True): f(x0 (B,nx), xs_bar (B,T+1,nx), us_bar (B,T,nu),
+    ks (B,T,nu), Ks (B,T,nu,nx), alpha (B,)) -> (xs (B,T+1,nx), us (B,T,nu))
+    with u_t = clip(us_bar_t + alpha*(k_t + K_t (x_t - xs_bar_t)), u_lo, u_hi)
+    — the exact control law of ilqr_fd.forward_all.
+
+    B must not be tiny: it is padded here to a multiple of block_b.
+    """
+    model = mm.model
+    sim = SimCfg(
+        dt=mm.dt, substeps=mm.substeps,
+        contact_stiffness=mm.contact_stiffness,
+        contact_damping=mm.contact_damping,
+        contact_friction_vel=mm.contact_friction_vel,
+        joint_limit_stiffness=mm.joint_limit_stiffness,
+        joint_limit_damping=mm.joint_limit_damping,
+    )
+    control = ControlCfg(decimation=1, action_scale=float(mm.gains.action_scale))
+    C = ss.make_consts(model, mm.gains, sim, control)
+    nj = model.nj
+    nx = 13 + 2 * nj
+    T = horizon
+    uidx = tuple(int(i) for i in model.user_dof_idx)
+    lo, hi = mdyn.u_bounds(mm)
+    u_lo = tuple(float(v) for v in lo)
+    u_hi = tuple(float(v) for v in hi)
+    kern = functools.partial(_kernel, C, ls, uidx, u_lo, u_hi,
+                             float(mm.friction))
+
+    def call_lanes(x0_l, *streams):
+        """x0_l (nx, B); streams are (T, rows, B) per-step inputs (+ alpha)."""
+        B = x0_l.shape[1]
+        nb = max(1, B // block_b)
+        bb = min(block_b, B)
+        rep = lambda d: pl.BlockSpec((d, bb), lambda i, t: (0, i),
+                                     memory_space=pltpu.VMEM)
+        stream = lambda d: pl.BlockSpec((1, d, bb), lambda i, t: (t, 0, i),
+                                        memory_space=pltpu.VMEM)
+        if ls:
+            in_specs = [rep(nx), stream(nx), stream(nj), stream(nj),
+                        stream(nj * nx), rep(1)]
+            out_specs = [stream(nx), stream(nj)]
+            out_shape = [jax.ShapeDtypeStruct((T, nx, B), jnp.float32),
+                         jax.ShapeDtypeStruct((T, nj, B), jnp.float32)]
+        else:
+            in_specs = [rep(nx), stream(nj)]
+            out_specs = [stream(nx)]
+            out_shape = [jax.ShapeDtypeStruct((T, nx, B), jnp.float32)]
+        return pl.pallas_call(
+            kern,
+            grid=(nb, T),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((nx, bb), jnp.float32)],
+            interpret=interpret,
+        )(x0_l, *streams)
+
+    def _pad(z, B0):
+        pad = (-B0) % block_b
+        if pad == 0:
+            return z
+        return jnp.concatenate(
+            [z, jnp.tile(z[:1], (pad,) + (1,) * (z.ndim - 1))], axis=0
+        )
+
+    tl2 = lambda z: jnp.transpose(z, (1, 2, 0))  # (B, T, d) -> (T, d, B)
+
+    if ls:
+        def rollout(x0, xs_bar, us_bar, ks, Ks, alpha):
+            B0 = x0.shape[0]
+            x0p = _pad(x0, B0)
+            xbar = tl2(_pad(xs_bar[:, :-1], B0))
+            ubar = tl2(_pad(us_bar, B0))
+            kk = tl2(_pad(ks, B0))
+            KK = tl2(_pad(Ks.reshape(B0, T, nj * nx), B0))
+            al = _pad(alpha[:, None], B0).T
+            xs_l, us_l = call_lanes(x0p.T, xbar, ubar, kk, KK, al)
+            xs = jnp.transpose(xs_l, (2, 0, 1))[:B0]
+            us = jnp.transpose(us_l, (2, 0, 1))[:B0]
+            return jnp.concatenate([x0[:, None], xs], axis=1), us
+    else:
+        def rollout(x0, us):
+            B0 = x0.shape[0]
+            x0p = _pad(x0, B0)
+            us_l = tl2(_pad(us, B0))
+            (xs_l,) = call_lanes(x0p.T, us_l)
+            xs = jnp.transpose(xs_l, (2, 0, 1))[:B0]
+            return jnp.concatenate([x0[:, None], xs], axis=1)
+
+    return rollout

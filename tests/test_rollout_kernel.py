@@ -1,0 +1,107 @@
+"""Fused horizon rollout kernel vs the T-sequential scan (interpret mode)."""
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
+from hcr_genesis_lr_cl_tpu.ops import rollout_kernel as rk
+
+pytestmark = pytest.mark.slow  # interpreted Pallas over a horizon, ~20 s each
+
+
+def _setup(T=4, S=4):
+    env, mm = mb.make_go2_mpc(substeps=2)
+    x0, _ = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, S)
+    us = 0.15 * jax.random.normal(jax.random.PRNGKey(1), (S, T, 12))
+    uidx = jnp.asarray(env.model.user_dof_idx)
+    dyn = fdy.make_kernel_dyn(mm, block_b=64, interpret=True)
+    perm = jax.nn.one_hot(uidx, 12, dtype=jnp.float32)
+    return env, mm, x0, us, dyn, perm
+
+
+class TestFusedSolver:
+    def test_fd_solver_fused_matches_scan(self):
+        """One FD-iLQR iteration: fused forward == scan forward."""
+        from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+        from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+        env, mm = mb.make_go2_mpc(substeps=2)
+        x0, params = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, 2)
+        w = mcosts.CostWeights()
+        T = 4
+        u0 = jnp.zeros((2, T, 12))
+        kw = dict(horizon=T, n_iters=1, block_b=64, interpret=True)
+        r_scan = ilqr_fd.make_fd_solver(mm, w, forward_mode="scan", **kw)(
+            x0, params, u0)
+        r_fused = ilqr_fd.make_fd_solver(mm, w, forward_mode="fused", **kw)(
+            x0, params, u0)
+        np.testing.assert_allclose(np.asarray(r_fused.cost),
+                                   np.asarray(r_scan.cost), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(r_fused.us),
+                                   np.asarray(r_scan.us), rtol=2e-3, atol=2e-3)
+
+
+class TestHorizonRollout:
+    def test_open_loop_matches_scan(self):
+        env, mm, x0, us, dyn, perm = _setup()
+        T = us.shape[1]
+
+        def scan_rollout(x0, us):
+            def f(x, u):
+                xn = dyn(x, u @ perm)
+                return xn, xn
+
+            _, xs = jax.lax.scan(f, x0, jnp.swapaxes(us, 0, 1))
+            return jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], 1)
+
+        fused = rk.make_horizon_rollout(mm, T, block_b=64, interpret=True)
+        xs_f = jax.jit(fused)(x0, us)
+        xs_s = jax.jit(scan_rollout)(x0, us)
+        np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_line_search_matches_scan(self):
+        env, mm, x0, us, dyn, perm = _setup()
+        S, T, nu = us.shape
+        nx = mdyn.nx(mm.model)
+        key = jax.random.PRNGKey(2)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        # a nominal trajectory + plausible-magnitude gains
+        xs_bar = jax.jit(rk.make_horizon_rollout(mm, T, block_b=64,
+                                                 interpret=True))(x0, us)
+        ks = 0.1 * jax.random.normal(k1, (S, T, nu))
+        Ks = 0.05 * jax.random.normal(k2, (S, T, nu, nx))
+        alpha = jax.random.uniform(k3, (S,), minval=0.05, maxval=1.0)
+        # perturb x0 so x deviates from xs_bar and the feedback term is live
+        x0p = x0 + 0.01 * jax.random.normal(k4, x0.shape)
+        u_lo, u_hi = mdyn.u_bounds(mm)
+
+        def scan_ls(x0, xs_bar, us_bar, ks, Ks, alpha):
+            def f(x, inp):
+                x_bar, u_bar, kk, KK = inp
+                u = u_bar + alpha[:, None] * (
+                    kk + (KK * (x - x_bar)[:, None, :]).sum(-1)
+                )
+                u = jnp.clip(u, u_lo, u_hi)
+                xn = dyn(x, u @ perm)
+                return xn, (xn, u)
+
+            inp = (jnp.swapaxes(xs_bar[:, :-1], 0, 1), jnp.swapaxes(us_bar, 0, 1),
+                   jnp.swapaxes(ks, 0, 1), jnp.swapaxes(Ks, 0, 1))
+            _, (xs_n, us_n) = jax.lax.scan(f, x0, inp)
+            return (jnp.concatenate([x0[:, None], jnp.swapaxes(xs_n, 0, 1)], 1),
+                    jnp.swapaxes(us_n, 0, 1))
+
+        fused = rk.make_horizon_rollout(mm, T, block_b=64, ls=True,
+                                        interpret=True)
+        xs_f, us_f = jax.jit(fused)(x0p, xs_bar, us, ks, Ks, alpha)
+        xs_s, us_s = jax.jit(scan_ls)(x0p, xs_bar, us, ks, Ks, alpha)
+        np.testing.assert_allclose(np.asarray(us_f), np.asarray(us_s),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s),
+                                   rtol=2e-3, atol=2e-3)

@@ -1,0 +1,69 @@
+"""Training-dynamics experiment driver: short runs with config overrides.
+
+Usage:
+    python tools/exp_train.py --task go2 --iters 300 --out runs_parity/E1 \
+        [--algo entropy_coef=0.0] [--rew only_positive_rewards=False] \
+        [--policy init_noise_std=0.5] [--num_envs 4096] [--seed 1]
+
+Each --algo/--rew/--policy KEY=VALUE is applied with dataclasses.replace on
+the matching config section. Writes metrics.jsonl + console log to --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+import os
+
+
+def parse_kv(pairs):
+    out = {}
+    for p in pairs or []:
+        k, v = p.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="go2")
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--num_envs", type=int, default=4096)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--algo", action="append", metavar="K=V")
+    ap.add_argument("--rew", action="append", metavar="K=V")
+    ap.add_argument("--policy", action="append", metavar="K=V")
+    ap.add_argument("--sim", action="append", metavar="K=V")
+    args = ap.parse_args()
+
+    from hcr_genesis_lr_cl_tpu.envs import registry
+    from hcr_genesis_lr_cl_tpu.rl.runner import make_runner
+
+    cfg, tcfg = registry.get_cfgs(args.task, num_envs=args.num_envs)
+    if args.rew:
+        cfg = dataclasses.replace(
+            cfg, rewards=dataclasses.replace(cfg.rewards, **parse_kv(args.rew)))
+    if args.sim:
+        cfg = dataclasses.replace(
+            cfg, sim=dataclasses.replace(cfg.sim, **parse_kv(args.sim)))
+    tcfg = dataclasses.replace(tcfg, seed=args.seed)
+    if args.algo:
+        tcfg = dataclasses.replace(
+            tcfg, algorithm=dataclasses.replace(tcfg.algorithm, **parse_kv(args.algo)))
+    if args.policy:
+        tcfg = dataclasses.replace(
+            tcfg, policy=dataclasses.replace(tcfg.policy, **parse_kv(args.policy)))
+
+    os.makedirs(args.out, exist_ok=True)
+    env = registry.make_env(args.task, cfg=cfg)
+    runner = make_runner(env, tcfg, log_dir=args.out)
+    runner.learn(args.iters, iters_per_call=10)
+
+
+if __name__ == "__main__":
+    main()
