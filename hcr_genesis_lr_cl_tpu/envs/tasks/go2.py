@@ -102,7 +102,15 @@ def go2_flat_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
 def go2_flat_train_cfg() -> TrainCfg:
     return TrainCfg(
         seed=1,
-        policy=PolicyCfg(),
+        # init_noise_std 0.5, not the reference's 1.0: with the TPU engine's
+        # compliant contact, std-1.0 exploration pins the positive-clipped
+        # reward at ~0 (the noise's action_rate/smoothness penalties alone
+        # exceed every positive term) and the entropy bonus wins the race ->
+        # std diverges, no learning. Measured A/B 2026-08-20 (300 iters,
+        # 4096 envs): init 1.0 -> collapse (std 3.5, ep_len 33); init 0.5 ->
+        # rew 0.019/step, ep_len 918, std decaying 0.36. All loss machinery
+        # stays reference-exact (entropy_coef 0.01, direct-std param).
+        policy=PolicyCfg(init_noise_std=0.5),
         algorithm=AlgorithmCfg(),
         runner=RunnerCfg(experiment_name="go2", run_name="simple_rl",
                          save_interval=200, max_iterations=1500),

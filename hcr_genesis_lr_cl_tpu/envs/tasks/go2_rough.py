@@ -133,6 +133,7 @@ def go2_ts_train_cfg() -> TrainCfg:
     return TrainCfg(
         seed=1,
         policy=PolicyCfg(
+            init_noise_std=0.5,  # see go2.py go2_flat_train_cfg note
             critic_hidden_dims=(1024, 256, 128),
             privilege_encoder_hidden_dims=(256, 128),
             history_encoder_hidden_dims=(256, 128),
@@ -152,6 +153,7 @@ def _variant_train_cfg(runner_class, run_name, **alg_kw) -> TrainCfg:
     return TrainCfg(
         seed=1,
         policy=PolicyCfg(
+            init_noise_std=0.5,  # see go2.py go2_flat_train_cfg note
             critic_hidden_dims=(1024, 256, 128),
             latent_dims=priv,
             num_estimated_states=24,  # lin_vel(3)+contact_states(17)+foot_h(4)
@@ -380,7 +382,9 @@ def go2_ts_depth_cfg(num_envs: int = 50) -> LeggedRobotCfg:
 
 
 def go2_ts_depth_train_cfg() -> TrainCfg:
-    return go2_ts_train_cfg()
+    tc = go2_ts_train_cfg()
+    return tc.replace(runner=tc.runner.replace(
+        runner_class_name="TSDepthRunner", experiment_name="go2_depth"))
 
 
 class Go2TSDepth(Go2TS):

@@ -88,7 +88,7 @@ def go2_wtw_cfg(num_envs: int = 4096) -> LeggedRobotCfg:
 def go2_wtw_train_cfg() -> TrainCfg:
     return TrainCfg(
         seed=1,
-        policy=PolicyCfg(),
+        policy=PolicyCfg(init_noise_std=0.5),  # see go2.py note
         algorithm=AlgorithmCfg(),
         runner=RunnerCfg(experiment_name="go2_wtw", run_name="wtw",
                          save_interval=500, max_iterations=3000),

@@ -146,6 +146,87 @@ class ActorCriticEE(nn.Module):
         return self.critic(critic_obs)[..., 0]
 
 
+class DepthEncoder(nn.Module):
+    """Small strided CNN over depth images (N, H, W) -> feature vector.
+
+    The reference's go2_ts_depth is WIP (renders depth but no network
+    consumes it, ref: go2_ts_depth/go2_ts_depth.py:223-239, registry entry
+    commented out at envs/__init__.py:87); this completes the pipeline. NHWC
+    layout + stride-2 convs: XLA lowers these onto the MXU as implicit GEMMs."""
+
+    out_dim: int
+    channels: Sequence[int] = (16, 32, 64)
+    activation: str = "elu"
+
+    @nn.compact
+    def __call__(self, depth):
+        act = _ACTIVATIONS[self.activation]
+        h = depth[..., None]  # (..., H, W, 1)
+        for ch in self.channels:
+            h = act(nn.Conv(ch, kernel_size=(3, 3), strides=(2, 2))(h))
+        h = h.reshape(h.shape[:-3] + (-1,))
+        return act(nn.Dense(self.out_dim)(h))
+
+
+class ActorCriticTSDepth(nn.Module):
+    """Vision teacher-student: the teacher's latent comes from the privileged
+    obs (heights + DR info) exactly as in ActorCriticTS; the STUDENT's latent
+    comes from the depth image + proprioceptive history — the deployable
+    sensor suite. Distillation (PPO_TSDepth) pulls the student latent to the
+    teacher latent, so the exported student policy needs no height scan."""
+
+    num_actions: int
+    latent_dims: int
+    actor_hidden_dims: Sequence[int] = (512, 256, 128)
+    critic_hidden_dims: Sequence[int] = (1024, 256, 128)
+    privilege_encoder_hidden_dims: Sequence[int] = (256, 128)
+    history_encoder_hidden_dims: Sequence[int] = (256, 128)
+    depth_channels: Sequence[int] = (16, 32, 64)
+    depth_feature_dim: int = 64
+    activation: str = "elu"
+    init_noise_std: float = 1.0
+
+    def setup(self):
+        self.privilege_encoder = MLP(
+            self.privilege_encoder_hidden_dims, self.latent_dims, self.activation
+        )
+        self.depth_encoder = DepthEncoder(
+            out_dim=self.depth_feature_dim, channels=self.depth_channels,
+            activation=self.activation,
+        )
+        self.student_fuse = MLP(
+            self.history_encoder_hidden_dims, self.latent_dims, self.activation
+        )
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions, self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.std = nets.std_param(self)
+
+    def __call__(self, obs, privileged_obs, depth, obs_history, critic_obs):
+        m = self.act_teacher(obs, privileged_obs)
+        v = self.value(critic_obs)
+        s = self.act_student(obs, depth, obs_history)
+        e = self.encode_student(depth, obs_history)
+        return m, v, s, e, nets.log_of_std(self.std)
+
+    def encode_privilege(self, privileged_obs):
+        return self.privilege_encoder(privileged_obs)
+
+    def encode_student(self, depth, obs_history):
+        feats = self.depth_encoder(depth)
+        return self.student_fuse(jnp.concatenate([feats, obs_history], axis=-1))
+
+    def act_teacher(self, obs, privileged_obs):
+        latent = self.privilege_encoder(privileged_obs)
+        return self.actor(jnp.concatenate([obs, latent], axis=-1))
+
+    def act_student(self, obs, depth, obs_history):
+        latent = self.encode_student(depth, obs_history)
+        return self.actor(jnp.concatenate([obs, latent], axis=-1))
+
+    def value(self, critic_obs):
+        return self.critic(critic_obs)[..., 0]
+
+
 class ActorCriticCTS(nn.Module):
     """Concurrent teacher-student: shared actor, latent source switched per
     env slice (reference actor_critic_cts.py:162-200)."""

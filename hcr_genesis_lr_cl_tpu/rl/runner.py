@@ -297,6 +297,37 @@ class TSRunner(OnPolicyRunner):
         }
 
 
+class TSDepthRunner(TSRunner):
+    """Vision teacher-student: TS + the depth image in the bundle. Completes
+    the reference's WIP go2_ts_depth path (ref: go2_ts_depth.py, registry
+    entry commented out at envs/__init__.py:87)."""
+
+    def make_network(self):
+        p = self.cfg.policy
+        return vnets.ActorCriticTSDepth(
+            num_actions=self.env.num_actions,
+            latent_dims=p.latent_dims,
+            actor_hidden_dims=p.actor_hidden_dims,
+            critic_hidden_dims=p.critic_hidden_dims,
+            privilege_encoder_hidden_dims=p.privilege_encoder_hidden_dims,
+            history_encoder_hidden_dims=p.history_encoder_hidden_dims,
+            activation=p.activation,
+            init_noise_std=p.init_noise_std,
+        )
+
+    def make_alg(self):
+        return valgs.PPO_TSDepth(self.network, self.cfg.algorithm)
+
+    def make_bundle(self, obs, priv, extras):
+        b = super().make_bundle(obs, priv, extras)
+        b["depth"] = extras["depth"]
+        return b
+
+    def extra_dims(self):
+        W, H = self.env.cfg.sensor.depth_camera.resolution
+        return {"depth_h": H, "depth_w": W}
+
+
 class EERunner(OnPolicyRunner):
     """Explicit estimator (reference ee_runner.py)."""
 
@@ -526,6 +557,7 @@ class RecurrentRunner(OnPolicyRunner):
 RUNNERS = {
     "OnPolicyRunner": OnPolicyRunner,
     "TSRunner": TSRunner,
+    "TSDepthRunner": TSDepthRunner,
     "EERunner": EERunner,
     "CTSRunner": CTSRunner,
     "DreamWaQRunner": DreamWaQRunner,

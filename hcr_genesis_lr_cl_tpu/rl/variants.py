@@ -81,15 +81,17 @@ class PPO_TS(PPO):
         return jnp.mean(jnp.square(pred * m - target * m))
 
     def extra_update(self, st: PPOState, flat: dict, key) -> Tuple[PPOState, Dict]:
+        return self._distill_update(
+            st, flat, key, keys=("obs_history", "privileged_obs", "terminated"))
+
+    def _distill_update(self, st: PPOState, flat: dict, key,
+                        keys) -> Tuple[PPOState, Dict]:
         cfg = self.cfg
         total = flat["terminated"].shape[0]
         n_steps = cfg.num_learning_epochs * cfg.num_mini_batches
         mb_size = total // cfg.num_mini_batches
 
-        flat2 = {
-            k: jnp.concatenate([flat[k], flat[k]], axis=0)
-            for k in ("obs_history", "privileged_obs", "terminated")
-        }
+        flat2 = {k: jnp.concatenate([flat[k], flat[k]], axis=0) for k in keys}
 
         def body(carry, start):
             params, opt_state = carry
@@ -110,6 +112,49 @@ class PPO_TS(PPO):
 
     def act_inference(self, params, obs, obs_history):
         return self.net.apply(params, obs, obs_history, method=self.net.act_student)
+
+
+class PPO_TSDepth(PPO_TS):
+    """TS distillation with a VISION student: the student latent is
+    encode_student(depth, obs_history) (conv depth encoder + proprio history)
+    pulled to the teacher's privileged latent. Completes the reference's WIP
+    go2_ts_depth pipeline (ref renders depth but nothing consumes it,
+    go2_ts_depth.py:223-239)."""
+
+    ENCODER_MODULES = ("depth_encoder", "student_fuse")
+
+    def example_bundle(self, dims):
+        b = super().example_bundle(dims)
+        b["depth"] = jnp.zeros((1, dims["depth_h"], dims["depth_w"]))
+        return b
+
+    def init_params(self, key, b):
+        return self.net.init(
+            key, b["obs"], b["privileged_obs"], b["depth"], b["obs_history"],
+            b["critic_obs"],
+        )
+
+    def _encoder_loss(self, params, mb):
+        pred = self.net.apply(
+            params, mb["depth"], mb["obs_history"], method=self.net.encode_student
+        )
+        target = jax.lax.stop_gradient(
+            self.net.apply(
+                params, mb["privileged_obs"], method=self.net.encode_privilege
+            )
+        )
+        m = mb["terminated"][:, None]
+        return jnp.mean(jnp.square(pred * m - target * m))
+
+    def extra_update(self, st: PPOState, flat: dict, key) -> Tuple[PPOState, Dict]:
+        return self._distill_update(
+            st, flat, key, keys=("depth", "obs_history", "privileged_obs",
+                                 "terminated"))
+
+    def act_inference(self, params, obs, depth, obs_history):
+        return self.net.apply(
+            params, obs, depth, obs_history, method=self.net.act_student
+        )
 
 
 class PPO_EE(PPO):

@@ -1,0 +1,67 @@
+"""Vision TS pipeline: depth render -> conv encoder -> distillation -> policy.
+
+The reference's go2_ts_depth is WIP (depth rendered, nothing consumes it,
+ref: go2_ts_depth/go2_ts_depth.py:223-239, registry entry commented out at
+envs/__init__.py:87); here the depth image is a first-class student sensor.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcr_genesis_lr_cl_tpu.envs import registry
+from hcr_genesis_lr_cl_tpu.models.variants import ActorCriticTSDepth, DepthEncoder
+from hcr_genesis_lr_cl_tpu.rl.runner import make_runner
+
+
+class TestDepthEncoder:
+    def test_shapes_and_batch_dims(self):
+        enc = DepthEncoder(out_dim=32)
+        x = jnp.ones((5, 24, 32))
+        p = enc.init(jax.random.PRNGKey(0), x)
+        y = enc.apply(p, x)
+        assert y.shape == (5, 32)
+        # leading batch dims are preserved (time-major rollouts)
+        y2 = enc.apply(p, jnp.ones((3, 5, 24, 32)))
+        assert y2.shape == (3, 5, 32)
+
+    def test_student_teacher_latents_same_dim(self):
+        net = ActorCriticTSDepth(num_actions=12, latent_dims=16)
+        obs = jnp.ones((2, 45))
+        priv = jnp.ones((2, 94))
+        depth = jnp.ones((2, 24, 32))
+        hist = jnp.ones((2, 900))
+        cobs = jnp.ones((2, 860))
+        p = net.init(jax.random.PRNGKey(0), obs, priv, depth, hist, cobs)
+        t = net.apply(p, priv, method=net.encode_privilege)
+        s = net.apply(p, depth, hist, method=net.encode_student)
+        assert t.shape == s.shape == (2, 16)
+        a = net.apply(p, obs, depth, hist, method=net.act_student)
+        assert a.shape == (2, 12)
+
+
+class TestDepthTraining:
+    @pytest.mark.slow  # two full train iterations incl. depth rendering
+    def test_ts_depth_trains(self):
+        env = registry.make_env("go2_ts_depth", num_envs=4)
+        _, tcfg = registry.get_cfgs("go2_ts_depth")
+        tcfg = tcfg.replace(
+            runner=tcfg.runner.replace(num_steps_per_env=4),
+            algorithm=tcfg.algorithm.replace(
+                num_learning_epochs=1, num_mini_batches=2),
+        )
+        runner = make_runner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(runner.train_iteration)
+        for _ in range(2):
+            st, info = step(st)
+        for k in ("loss", "encoder_loss", "mean_step_reward"):
+            assert k in info and np.isfinite(float(info[k])), k
+        # student inference policy consumes (obs, depth, obs_history)
+        pol = runner.get_inference_policy(st)
+        n = env.num_envs
+        W, H = env.cfg.sensor.depth_camera.resolution
+        hist_dim = st.bundle["obs_history"].shape[-1]
+        a = pol(jnp.ones((n, 45)), jnp.ones((n, H, W)), jnp.ones((n, hist_dim)))
+        assert a.shape == (n, 12) and bool(jnp.all(jnp.isfinite(a)))
