@@ -1,15 +1,30 @@
-"""Batched pinhole depth camera: ray-marched heightfield rendering.
+"""Batched pinhole camera: ray-marched heightfield rendering, 5 modes.
 
-Replaces the reference's NVIDIA Warp depth sensor (warp/warp_cam.py pinhole
+Replaces the reference's NVIDIA Warp camera (warp/warp_cam.py pinhole
 K-matrix :36-69 + per-pixel `wp.mesh_query_ray` BVH casts, CUDA-graph
-captured) with fixed-step DDA ray marching against the heightfield — cheaper
-than a BVH mesh query and sufficient because the world IS a heightfield.
-Fixed iteration count (TPU-friendly), one bisection refinement, vectorized
-over envs x pixels.
+captured; 5 kernels in warp_kernels/warp_camera_kernels.py:12-289:
+pointcloud+segmentation, normal/faceID, pointcloud, depth_range,
+depth_range+segmentation) with fixed-step DDA ray marching against the
+heightfield — cheaper than a BVH mesh query and sufficient because the
+world IS a heightfield. Fixed iteration count (TPU-friendly), one midpoint
+refinement, vectorized over envs x pixels; all modes share ONE march.
 
 Camera convention matches the reference rig: x forward, y left, z up;
 image u right / v down; depth is the range along the ray, normalized to
 [0, 1] between near and far clip (genesis_simulator.py:741-750).
+
+Mode mapping onto the heightfield world:
+- "pointcloud": ray hit position, world or camera frame
+  (ref kernel :125-174, `pointcloud_in_world_frame`)
+- "segmentation": the terrain-TYPE column index of the subterrain cell at
+  the hit point (the ref encodes a per-face int via mesh velocities,
+  :58-60 — the heightfield analogue of "which object" is "which terrain
+  type"); -1 where the ray misses (NO_HIT_SEGMENTATION_VAL)
+- "normal": terrain surface normal at the hit, world or camera frame
+  (ref kernel :70-123)
+- "face_id": linear heightfield-cell index at the hit (the ref returns the
+  BVH face index; a heightfield's faces are its cells); -1 on miss
+- "depth": range along the ray normalized to [0,1] (ref kernel :176-231)
 """
 
 from __future__ import annotations
@@ -38,16 +53,9 @@ def make_ray_dirs(cfg: DepthCameraCfg) -> np.ndarray:
     return d.reshape(-1, 3).astype(np.float32)
 
 
-def render_depth(
-    terrain: TerrainField,
-    cfg: DepthCameraCfg,
-    base_pos: jnp.ndarray,  # (N, 3)
-    base_quat: jnp.ndarray,  # (N, 4) wxyz
-    ray_dirs: np.ndarray,  # (P, 3) from make_ray_dirs
-    n_steps: int = 64,
-) -> jnp.ndarray:
-    """Returns normalized depth images (N, H, W) in [0, 1]."""
-    W, H = cfg.resolution
+def _march(terrain, cfg, base_pos, base_quat, ray_dirs, n_steps):
+    """Shared ray march. Returns (origins (N,3), dirs_w (N,P,3),
+    dirs_body (P,3), t_hit (N,P), hit_mask (N,P))."""
     cam_off = jnp.asarray(cfg.pos)
     cam_rot = hm.quat_to_rotmat(
         hm.quat_from_euler_xyz(*[jnp.float32(e) for e in cfg.euler])
@@ -59,17 +67,10 @@ def render_depth(
 
     ts = jnp.linspace(cfg.near_clip, cfg.far_clip, n_steps)  # (S,)
 
-    def sample_height(pts):
-        return terrain.height(pts[..., 0], pts[..., 1])
-
-    # march: find the first step where the ray goes below the terrain
-    def below_at(t):
-        pts = origins[:, None, :] + dirs_w * t
-        return pts[..., 2] < sample_height(pts), pts[..., 2]
-
     def scan_step(carry, t):
         t_hit, prev_t = carry
-        hit, _ = below_at(t)
+        pts = origins[:, None, :] + dirs_w * t
+        hit = pts[..., 2] < terrain.height(pts[..., 0], pts[..., 1])
         first = hit & (t_hit >= cfg.far_clip)  # not yet hit
         t_hit = jnp.where(first, 0.5 * (prev_t + t), t_hit)  # midpoint refine
         return (t_hit, t * jnp.ones_like(prev_t)), None
@@ -78,6 +79,96 @@ def render_depth(
     (t_hit, _), _ = jax.lax.scan(
         scan_step, (t0, jnp.full(dirs_w.shape[:2], cfg.near_clip)), ts
     )
-    depth = jnp.clip(t_hit, cfg.near_clip, cfg.far_clip)
-    norm = (depth - cfg.near_clip) / (cfg.far_clip - cfg.near_clip)
-    return norm.reshape(base_pos.shape[0], H, W)
+    hit_mask = t_hit < cfg.far_clip
+    return origins, dirs_w, dirs_body, t_hit, hit_mask
+
+
+def _terrain_type_at(terrain: TerrainField, x, y):
+    """Terrain-type column index of the subterrain grid cell at world (x, y)
+    (the grid is num_rows levels x num_cols types; env cell centers are
+    env_origins)."""
+    if terrain.is_plane:
+        return jnp.zeros(x.shape, dtype=jnp.int32)
+    y0 = terrain.env_origins[0, 0, 1] - terrain.env_width * 0.5
+    col = jnp.floor((y - y0) / terrain.env_width)
+    return jnp.clip(col, 0, terrain.num_cols - 1).astype(jnp.int32)
+
+
+def _cell_index_at(terrain: TerrainField, x, y):
+    """Linear heightfield-cell index at world (x, y) — the heightfield's
+    'face ID'."""
+    H, W = terrain.heights.shape
+    gx = (x - terrain.origin_xy[0]) / terrain.horizontal_scale
+    gy = (y - terrain.origin_xy[1]) / terrain.horizontal_scale
+    ix = jnp.clip(jnp.floor(gx), 0, H - 1).astype(jnp.int32)
+    iy = jnp.clip(jnp.floor(gy), 0, W - 1).astype(jnp.int32)
+    return ix * W + iy
+
+
+def render(
+    terrain: TerrainField,
+    cfg: DepthCameraCfg,
+    base_pos: jnp.ndarray,  # (N, 3)
+    base_quat: jnp.ndarray,  # (N, 4) wxyz
+    ray_dirs: np.ndarray,  # (P, 3) from make_ray_dirs
+    modes=("depth",),
+    n_steps: int = 64,
+    pointcloud_in_world_frame: bool = True,
+    normal_in_world_frame: bool = True,
+) -> dict:
+    """Render any subset of {"depth", "pointcloud", "segmentation", "normal",
+    "face_id"} from ONE shared ray march. Image-shaped outputs: depth
+    (N, H, W); pointcloud/normal (N, H, W, 3); segmentation/face_id
+    (N, H, W) int32."""
+    W, H = cfg.resolution
+    N = base_pos.shape[0]
+    origins, dirs_w, dirs_body, t_hit, hit = _march(
+        terrain, cfg, base_pos, base_quat, ray_dirs, n_steps
+    )
+    out = {}
+    img = lambda z: z.reshape((N, H, W) + z.shape[2:])
+    if "depth" in modes:
+        depth = jnp.clip(t_hit, cfg.near_clip, cfg.far_clip)
+        out["depth"] = img(
+            (depth - cfg.near_clip) / (cfg.far_clip - cfg.near_clip)
+        )
+    needs_hit_xy = {"segmentation", "normal", "face_id"} & set(modes)
+    if "pointcloud" in modes or needs_hit_xy:
+        pts_w = origins[:, None, :] + dirs_w * t_hit[..., None]  # (N, P, 3)
+    if "pointcloud" in modes:
+        if pointcloud_in_world_frame:
+            out["pointcloud"] = img(pts_w)
+        else:
+            # camera frame: dist * uv (ref kernel :63-66)
+            out["pointcloud"] = img(t_hit[..., None] * dirs_body[None])
+    if "segmentation" in modes:
+        seg = _terrain_type_at(terrain, pts_w[..., 0], pts_w[..., 1])
+        out["segmentation"] = img(jnp.where(hit, seg, -1))
+    if "face_id" in modes:
+        fid = _cell_index_at(terrain, pts_w[..., 0], pts_w[..., 1])
+        out["face_id"] = img(jnp.where(hit, fid, -1))
+    if "normal" in modes:
+        n_w = terrain.normal(pts_w[..., 0], pts_w[..., 1])  # (N, P, 3)
+        if not normal_in_world_frame:
+            R_wb = hm.quat_to_rotmat(base_quat)
+            cam_rot = hm.quat_to_rotmat(
+                hm.quat_from_euler_xyz(*[jnp.float32(e) for e in cfg.euler])
+            )
+            # world -> body -> camera
+            n_w = jnp.einsum("ji,npj->npi", cam_rot,
+                             jnp.einsum("nji,npj->npi", R_wb, n_w))
+        out["normal"] = img(jnp.where(hit[..., None], n_w, 0.0))
+    return out
+
+
+def render_depth(
+    terrain: TerrainField,
+    cfg: DepthCameraCfg,
+    base_pos: jnp.ndarray,  # (N, 3)
+    base_quat: jnp.ndarray,  # (N, 4) wxyz
+    ray_dirs: np.ndarray,  # (P, 3) from make_ray_dirs
+    n_steps: int = 64,
+) -> jnp.ndarray:
+    """Returns normalized depth images (N, H, W) in [0, 1]."""
+    return render(terrain, cfg, base_pos, base_quat, ray_dirs,
+                  modes=("depth",), n_steps=n_steps)["depth"]

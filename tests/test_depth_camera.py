@@ -40,3 +40,73 @@ class TestDepthCamera:
         )
         # top image rows look up: no hit -> normalized 1.0
         assert float(np.asarray(img)[0, 0].min()) == 1.0
+
+
+class TestCameraModes:
+    """The reference's other 4 kernel modes (warp_camera_kernels.py:12-175,
+    233-289) mapped onto the heightfield world."""
+
+    def _setup(self, terrain=None):
+        cfg = DepthCameraCfg(resolution=(16, 12), pos=(0.0, 0.0, 0.0))
+        terrain = terrain or TerrainField.plane(TerrainCfg())
+        rays = dc.make_ray_dirs(cfg)
+        base_pos = jnp.array([[0.0, 0.0, 0.5]])
+        base_quat = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+        return cfg, terrain, rays, base_pos, base_quat
+
+    def test_pointcloud_world_frame_on_plane(self):
+        cfg, terrain, rays, bp, bq = self._setup()
+        out = dc.render(terrain, cfg, bp, bq, rays,
+                        modes=("pointcloud", "depth"), n_steps=256)
+        pc = np.asarray(out["pointcloud"])[0]  # (H, W, 3)
+        depth = np.asarray(out["depth"])[0]
+        hit = depth < 1.0 - 1e-6
+        # hits on a z=0 plane have z ~ 0 (march resolution limits accuracy)
+        assert np.abs(pc[hit][:, 2]).max() < 0.06
+        assert hit.sum() > 10
+
+    def test_pointcloud_camera_frame_is_dist_times_uv(self):
+        cfg, terrain, rays, bp, bq = self._setup()
+        out = dc.render(terrain, cfg, bp, bq, rays, modes=("pointcloud",),
+                        pointcloud_in_world_frame=False, n_steps=64)
+        pc = np.asarray(out["pointcloud"])[0].reshape(-1, 3)
+        # each point lies along its camera-frame ray direction
+        t = np.linalg.norm(pc, axis=-1, keepdims=True)
+        np.testing.assert_allclose(pc, t * rays, atol=1e-4)
+
+    def test_normal_on_plane_is_up(self):
+        cfg, terrain, rays, bp, bq = self._setup()
+        out = dc.render(terrain, cfg, bp, bq, rays,
+                        modes=("normal", "depth"), n_steps=64)
+        nrm = np.asarray(out["normal"])[0]
+        hit = np.asarray(out["depth"])[0] < 1.0 - 1e-6
+        np.testing.assert_allclose(nrm[hit], [[0.0, 0.0, 1.0]] * hit.sum(),
+                                   atol=1e-5)
+        # misses are zeroed
+        assert np.abs(nrm[~hit]).max() == 0.0
+
+    def test_segmentation_and_face_id(self):
+        tcfg = TerrainCfg(mesh_type="heightfield", num_rows=2, num_cols=3,
+                          terrain_length=4.0, terrain_width=4.0,
+                          border_size=2.0)
+        terrain = TerrainField.build(tcfg, seed=0)
+        cfg = DepthCameraCfg(resolution=(16, 12), pos=(0.0, 0.0, 0.0))
+        rays = dc.make_ray_dirs(cfg)
+        org = np.asarray(terrain.env_origins)
+        bq = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+        segs = []
+        for col in range(3):
+            bp = jnp.asarray(org[0, col][None] + np.array([0.0, 0.0, 1.0]))
+            out = dc.render(terrain, cfg, bp, bq, rays,
+                            modes=("segmentation", "face_id", "depth"),
+                            n_steps=128)
+            seg = np.asarray(out["segmentation"])[0]
+            fid = np.asarray(out["face_id"])[0]
+            hit = np.asarray(out["depth"])[0] < 1.0 - 1e-6
+            assert hit.sum() > 10
+            # misses are -1; hits directly below the camera see this column
+            assert seg[~hit].max() == -1 if (~hit).any() else True
+            assert fid[hit].min() >= 0
+            H, W = seg.shape
+            segs.append(int(seg[H - 1, W // 2]))  # bottom-center ray: straight down-ish
+        assert segs == [0, 1, 2]
