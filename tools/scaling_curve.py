@@ -1,0 +1,110 @@
+"""Weak-scaling curve on a virtual N-device mesh (VERDICT r2 item 7b).
+
+Real multi-chip hardware is unavailable in this environment, so the scaling
+GATE (>=80% efficiency at 2+ hosts, BASELINE.md) is made falsifiable on the
+virtual CPU mesh: per-device load held constant (weak scaling), efficiency =
+throughput(d) / (d * throughput(1)). CPU cores are the shared resource, so
+virtual-mesh efficiency is a LOWER bound for real-chip efficiency: on real
+chips each device's compute is dedicated and only the collectives (psums of
+scalar loss/grad reductions here) remain.
+
+Run: python tools/scaling_curve.py [--devices 1 2 4 8] [--envs_per_dev 256]
+     [--scenarios_per_dev 32]
+Prints one JSON line per measurement + a summary line consumed by bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# must happen before jax import
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_training(n_devices: int, envs_per_dev: int, iters: int = 3):
+    from hcr_genesis_lr_cl_tpu.envs import registry
+    from hcr_genesis_lr_cl_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch_tree)
+    from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+
+    n_envs = envs_per_dev * n_devices
+    env = registry.make_env("go2", num_envs=n_envs)
+    _, tcfg = registry.get_cfgs("go2")
+    runner = OnPolicyRunner(env, tcfg)
+    mesh = make_mesh(n_devices)
+    st = runner.init_state(jax.random.PRNGKey(0))
+    st = st.replace(
+        env_state=shard_batch_tree(st.env_state, mesh, n_envs),
+        bundle=shard_batch_tree(st.bundle, mesh, n_envs),
+        ppo=replicate(st.ppo, mesh),
+        rng=replicate(st.rng, mesh),
+    )
+    step = jax.jit(runner.train_iteration)
+    st, info = step(st)  # compile + warm
+    jax.block_until_ready(info["loss"])
+    t0 = time.time()
+    for _ in range(iters):
+        st, info = step(st)
+    jax.block_until_ready(info["loss"])
+    dt = (time.time() - t0) / iters
+    return runner.num_steps * n_envs / dt
+
+
+def bench_mpc(n_devices: int, scen_per_dev: int, horizon: int = 10):
+    from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+
+    n = scen_per_dev * n_devices
+    r = mb.bench_tron1_sf_sharded(num_scenarios=n, horizon=horizon,
+                                  n_solves=2, n_iters=1, n_devices=n_devices)
+    return r["solves_per_sec"] * n  # scenario-solves/s (weak scaling)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--envs_per_dev", type=int, default=256)
+    ap.add_argument("--scenarios_per_dev", type=int, default=32)
+    ap.add_argument("--skip_mpc", action="store_true")
+    args = ap.parse_args()
+
+    results = {"train": {}, "mpc": {}}
+    for d in args.devices:
+        sps = bench_training(d, args.envs_per_dev)
+        results["train"][d] = sps
+        print(json.dumps({"kind": "train_weak_scaling", "devices": d,
+                          "env_steps_per_sec": round(sps)}), flush=True)
+    if not args.skip_mpc:
+        for d in args.devices:
+            sol = bench_mpc(d, args.scenarios_per_dev)
+            results["mpc"][d] = sol
+            print(json.dumps({"kind": "mpc_weak_scaling", "devices": d,
+                              "scenario_solves_per_sec": round(sol, 2)}),
+                  flush=True)
+
+    d0 = args.devices[0]
+    summary = {"kind": "scaling_summary"}
+    for k in ("train", "mpc"):
+        if results[k]:
+            eff = {d: results[k][d] / (results[k][d0] * d / d0)
+                   for d in results[k]}
+            summary[f"{k}_efficiency"] = {str(d): round(e, 3)
+                                          for d, e in eff.items()}
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
