@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", required=True)
     ap.add_argument("--iters_per_call", type=int, default=10)
+    ap.add_argument("--resume", default=None, metavar="CKPT",
+                    help="resume full training state from a model_*.ckpt")
     ap.add_argument("--algo", action="append", metavar="K=V")
     ap.add_argument("--rew", action="append", metavar="K=V")
     ap.add_argument("--policy", action="append", metavar="K=V")
@@ -63,7 +65,14 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     env = registry.make_env(args.task, cfg=cfg)
     runner = make_runner(env, tcfg, log_dir=args.out)
-    runner.learn(args.iters, iters_per_call=args.iters_per_call)
+    st = None
+    if args.resume:
+        import jax
+
+        st = runner.init_state(jax.random.PRNGKey(tcfg.seed))
+        st = runner.load(st, args.resume)
+        print(f"resumed from {args.resume} at iter {runner.iter}")
+    runner.learn(args.iters, iters_per_call=args.iters_per_call, st=st)
 
 
 if __name__ == "__main__":
