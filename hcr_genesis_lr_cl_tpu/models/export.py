@@ -152,11 +152,73 @@ def export_recurrent_policy(params: dict, policy_cfg, env_cfg, out_dir: str):
     return pt_path, None
 
 
+def conv_encoder_to_torch(enc_params: dict, in_hw, activation: str = "elu"):
+    """Convert the flax DepthEncoder subtree (Conv_0.., Dense_0) into an
+    equivalent torch module over (N, H, W) depth images.
+
+    Exactness notes: flax nn.Conv is NHWC with SAME padding — for stride 2
+    and kernel 3 the XLA pad is ASYMMETRIC (low 0 / high 1 on even extents),
+    which torch's symmetric `padding=1` does NOT reproduce, so each layer
+    gets an explicit ZeroPad2d computed for its input extent; the flatten
+    before the final Dense must happen in HWC order (a permute in NCHW
+    torch) to match the flax kernel's row ordering."""
+    torch = _torch()
+    import torch.nn as nn
+
+    conv_names = sorted((k for k in enc_params if k.startswith("Conv_")),
+                        key=lambda s: int(s.split("_")[1]))
+    H, W = in_hw
+    seq = []
+    h, w = H, W
+    for name in conv_names:
+        k = np.asarray(enc_params[name]["kernel"])  # (kh, kw, cin, cout)
+        b = np.asarray(enc_params[name]["bias"])
+        kh, kw, cin, cout = k.shape
+        stride = 2
+
+        def same_pad(extent, ksz, s):
+            out = -(-extent // s)  # ceil
+            total = max((out - 1) * s + ksz - extent, 0)
+            return total // 2, total - total // 2  # (low, high)
+
+        ph = same_pad(h, kh, stride)
+        pw = same_pad(w, kw, stride)
+        conv = nn.Conv2d(cin, cout, (kh, kw), stride=stride, padding=0)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(k.transpose(3, 2, 0, 1).copy()))
+            conv.bias.copy_(torch.from_numpy(b.copy()))
+        # ZeroPad2d order: (left, right, top, bottom) = (w_lo, w_hi, h_lo, h_hi)
+        seq += [nn.ZeroPad2d((pw[0], pw[1], ph[0], ph[1])), conv,
+                getattr(nn, _ACT[activation])()]
+        h, w = -(-h // stride), -(-w // stride)
+    dense = enc_params["Dense_0"]
+    kd = np.asarray(dense["kernel"])
+    lin = nn.Linear(kd.shape[0], kd.shape[1])
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(kd.T.copy()))
+        lin.bias.copy_(torch.from_numpy(np.asarray(dense["bias"]).copy()))
+
+    class DepthEnc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convs = nn.Sequential(*seq)
+            self.lin = lin
+            self.act = getattr(nn, _ACT[activation])()
+
+        def forward(self, depth):  # (N, H, W)
+            x = self.convs(depth.unsqueeze(1))  # NCHW
+            x = x.permute(0, 2, 3, 1).flatten(1)  # HWC flatten = flax order
+            return self.act(self.lin(x))
+
+    return DepthEnc()
+
+
 def export_policy(runner_name: str, params: dict, policy_cfg, env_cfg,
-                  out_dir: str):
+                  out_dir: str, sensor_cfg=None):
     """Export the deployment policy for the given runner family.
 
-    Returns (torchscript_path, onnx_path)."""
+    sensor_cfg (core.config.SensorCfg) is required only for TSDepthRunner
+    (the depth-image input shape). Returns (torchscript_path, onnx_path)."""
     torch = _torch()
     import torch.nn as nn
 
@@ -167,6 +229,37 @@ def export_policy(runner_name: str, params: dict, policy_cfg, env_cfg,
         actor = mlp_to_torch(p["actor"], act)
         obs = torch.zeros(1, env_cfg.num_observations)
         return _export(actor, obs, out_dir, "policy")
+
+    if runner_name == "TSDepthRunner":
+        # vision student: actor(obs ++ student_fuse(depth_enc(depth) ++
+        # obs_history)) — the deployable no-height-scan sensor suite
+        # (models/variants.ActorCriticTSDepth.act_student; the reference's
+        # go2_ts_depth is WIP with no exporter, helpers.py:174-318)
+        class DepthStudent(nn.Module):
+            def __init__(self, denc, fuse, actor):
+                super().__init__()
+                self.denc = denc
+                self.fuse = fuse
+                self.actor = actor
+
+            def forward(self, obs, depth, obs_history):
+                feats = self.denc(depth)
+                latent = self.fuse(torch.cat([feats, obs_history], dim=-1))
+                return self.actor(torch.cat([obs, latent], dim=-1))
+
+        if sensor_cfg is None:
+            raise ValueError("TSDepthRunner export needs sensor_cfg for the "
+                             "depth image shape")
+        W_, H_ = sensor_cfg.depth_camera.resolution
+        denc = conv_encoder_to_torch(p["depth_encoder"], (H_, W_), act)
+        fuse = mlp_to_torch(p["student_fuse"], act)
+        actor = mlp_to_torch(p["actor"], act)
+        nso = env_cfg.num_single_obs or env_cfg.num_observations
+        obs = torch.zeros(1, env_cfg.num_observations)
+        depth = torch.zeros(1, H_, W_)
+        hist = torch.zeros(1, nso * env_cfg.frame_stack)
+        return _export(DepthStudent(denc, fuse, actor), (obs, depth, hist),
+                       out_dir, "policy_depth_student")
 
     if runner_name in ("TSRunner", "CTSRunner"):
         # student path: actor(obs ++ history_encoder(obs_history))

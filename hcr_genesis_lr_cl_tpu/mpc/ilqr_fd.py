@@ -39,7 +39,7 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    dyn_override=None, relin_every: int = 1,
                    lin_chunks: int = 1, lin_stride: int = 1,
                    backward_matmul_dtype=None, backward_mode: str = "lanes",
-                   forward_mode: str = "scan"):
+                   forward_mode: str = "scan", stationary_tail=None):
     """backward_mode: "lanes" (default) runs the backward pass in the Pallas
     lane-major kernel (ops/riccati_kernel.py, ~4.7x the packed recursion at
     S=1024 on v5e, and skips the Jacobian jnp.repeat when lin_stride > 1);
@@ -50,7 +50,12 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
     whole T in ONE dispatch, state carried in VMEM, closed-loop control law
     in-kernel), replacing the T-sequential lax.scan whose per-step dispatch
     latency dominated the solve; "scan" keeps the scan-over-control-steps
-    path (required when dyn_override is given)."""
+    path (required when dyn_override is given).
+
+    stationary_tail=J: lanes-backward only — full matrix Riccati recursion
+    for the J knots nearest the terminal boundary, frozen-gain vector
+    recursion for the rest (see ops/riccati_kernel.make_lane_backward).
+    The backward pass measured 57% of the 4096-scenario solve."""
     T = horizon
     nx = mdyn.nx(mm.model)
     nu = mm.model.nj
@@ -130,32 +135,52 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         terml = jax.vmap(term_cost)(params, xs[:, -1])
         return stage.sum(axis=1) + terml
 
+    # stationary-tail solves only read cost Hessians at the J tail knots
+    # (the frozen-gain vector knots use gradients alone) — computing the
+    # nx=37 Hessians at all 50 knots made quadratize the solve's #2 stage
+    hess_tail = (int(stationary_tail)
+                 if (backward_mode == "lanes" and stationary_tail
+                     and int(stationary_tail) < T) else None)
+
     def quadratize(params, xs, us):
         up = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
         ts = jnp.arange(T)
 
-        def knot(p, x, u, upr, t):
+        def gknot(p, x, u, upr, t):
             lx = jax.grad(stage_cost, argnums=1)(p, x, u, upr, t)
             lu = jax.grad(stage_cost, argnums=2)(p, x, u, upr, t)
+            return lx, lu
+
+        def hknot(p, x, u, upr, t):
             lxx = jax.hessian(stage_cost, argnums=1)(p, x, u, upr, t)
             luu = jax.hessian(stage_cost, argnums=2)(p, x, u, upr, t)
             lux = jax.jacfwd(jax.grad(stage_cost, argnums=2), argnums=1)(p, x, u, upr, t)
-            return lx, lu, lxx, luu, lux
+            return lxx, luu, lux
 
-        out = jax.vmap(
-            lambda p, xr, ur, upr: jax.vmap(knot, in_axes=(None, 0, 0, 0, 0))(
-                p, xr, ur, upr, ts
+        over_knots = lambda f, xr, ur, upr, tr: jax.vmap(
+            lambda p, xr, ur, upr: jax.vmap(f, in_axes=(None, 0, 0, 0, 0))(
+                p, xr, ur, upr, tr
             )
-        )(params, xs[:, :-1], us, up)
+        )(params, xr, ur, upr)
+        lx, lu = over_knots(gknot, xs[:, :-1], us, up, ts)
+        if hess_tail is not None:
+            h0 = T - hess_tail
+            lxx, luu, lux = over_knots(
+                hknot, xs[:, h0:-1], us[:, h0:], up[:, h0:], ts[h0:])
+        else:
+            lxx, luu, lux = over_knots(hknot, xs[:, :-1], us, up, ts)
         vxT = jax.vmap(jax.grad(term_cost, argnums=1))(params, xs[:, -1])
         vxxT = jax.vmap(jax.hessian(term_cost, argnums=1))(params, xs[:, -1])
-        return out + (vxT, vxxT)
+        return lx, lu, lxx, luu, lux, vxT, vxxT
 
     if backward_mode == "lanes":
         from hcr_genesis_lr_cl_tpu.ops.riccati_kernel import make_lane_backward
 
         _lane_bw = make_lane_backward(
-            nx, nu, T, reg=reg, interpret=interpret, jac_stride=lin_stride)
+            nx, nu, T, reg=reg, interpret=interpret, jac_stride=lin_stride,
+            stationary_tail=stationary_tail,
+            hess_tail_only=stationary_tail is not None
+            and int(stationary_tail) < T)
 
         def backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
             """fx/fu compact (S, Ts, ...); rest (S, T, ...) -> gains."""

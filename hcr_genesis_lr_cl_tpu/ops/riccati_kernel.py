@@ -42,9 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(nx, nu, reg,
+def _kernel(nx, nu, reg, J,
             fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
-            vxT_ref, vxxT_ref, ks_ref, Ks_ref, vx_s, vxx_s):
+            vxT_ref, vxxT_ref, ks_ref, Ks_ref, vx_s, vxx_s,
+            L_s, Km_s, quu_s, qux_s):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -56,119 +57,181 @@ def _kernel(nx, nu, reg,
     B = fu_ref[0]       # (nx, nu, S)
     lx = lx_ref[0]      # (nx, S)
     lu = lu_ref[0]      # (nu, S)
-    lxx = lxx_ref[0]    # (nx, nx, S)
-    luu = luu_ref[0]    # (nu, nu, S)
-    lux = lux_ref[0]    # (nu, nx, S)
     vx = vx_s[:]        # (nx, S) over next-state dims
-    vxx = vxx_s[:]      # (nx, nx, S)
 
-    # ---- W = Vxx @ [A | B] via rank-1 accumulation over next-state dim b;
-    # vxx row b stands in for column b (symmetric) ----
-    WA = jnp.zeros_like(A)
-    WB = jnp.zeros_like(B)
-    for b in range(nx):
-        vb = vxx[b]  # (nx, S)
-        WA = WA + vb[:, None, :] * A[b][None, :, :]
-        WB = WB + vb[:, None, :] * B[b][None, :, :]
+    @pl.when(t < J)
+    def _matrix_knot():
+        lxx = lxx_ref[0]    # (nx, nx, S)
+        luu = luu_ref[0]    # (nu, nu, S)
+        lux = lux_ref[0]    # (nu, nx, S)
+        vxx = vxx_s[:]      # (nx, nx, S)
 
-    # ---- Q blocks: Q = L + F' Vxx F; plus reg products fu'fx, fu'fu and
-    # the gradient terms qx = lx + A' vx, qu = lu + B' vx ----
-    qxx, qux, quu = lxx, lux, luu
-    qxxT = lxx  # Qxx' accumulated with swapped operands (lxx symmetric)
-    pux = jnp.zeros_like(lux)
-    puu = jnp.zeros_like(luu)
-    qx, qu = lx, lu
-    for a in range(nx):
-        Aa, Ba, Wa = A[a], B[a], WA[a]
-        qxx = qxx + Aa[:, None, :] * Wa[None, :, :]
-        qxxT = qxxT + Wa[:, None, :] * Aa[None, :, :]
-        qux = qux + Ba[:, None, :] * Wa[None, :, :]
-        quu = quu + Ba[:, None, :] * WB[a][None, :, :]
-        pux = pux + Ba[:, None, :] * Aa[None, :, :]
-        puu = puu + Ba[:, None, :] * Ba[None, :, :]
-        qx = qx + Aa * vx[a]
-        qu = qu + Ba * vx[a]
+        # ---- W = Vxx @ [A | B] via rank-1 accumulation over next-state dim
+        # b; vxx row b stands in for column b (symmetric) ----
+        WA = jnp.zeros_like(A)
+        WB = jnp.zeros_like(B)
+        for b in range(nx):
+            vb = vxx[b]  # (nx, S)
+            WA = WA + vb[:, None, :] * A[b][None, :, :]
+            WB = WB + vb[:, None, :] * B[b][None, :, :]
 
-    eye_u = jnp.eye(nu, dtype=jnp.float32)[:, :, None]
-    quu_r = quu + reg * (puu + eye_u)
-    qux_r = qux + reg * pux  # (nu, nx, S)
+        # ---- Q blocks: Q = L + F' Vxx F; plus reg products fu'fx, fu'fu and
+        # the gradient terms qx = lx + A' vx, qu = lu + B' vx ----
+        qxx, qux, quu = lxx, lux, luu
+        qxxT = lxx  # Qxx' accumulated with swapped operands (lxx symmetric)
+        pux = jnp.zeros_like(lux)
+        puu = jnp.zeros_like(luu)
+        qx, qu = lx, lu
+        for a in range(nx):
+            Aa, Ba, Wa = A[a], B[a], WA[a]
+            qxx = qxx + Aa[:, None, :] * Wa[None, :, :]
+            qxxT = qxxT + Wa[:, None, :] * Aa[None, :, :]
+            qux = qux + Ba[:, None, :] * Wa[None, :, :]
+            quu = quu + Ba[:, None, :] * WB[a][None, :, :]
+            pux = pux + Ba[:, None, :] * Aa[None, :, :]
+            puu = puu + Ba[:, None, :] * Ba[None, :, :]
+            qx = qx + Aa * vx[a]
+            qu = qu + Ba * vx[a]
 
-    # ---- unrolled Cholesky of quu_r; solve for k (vector) and K (matrix) ----
-    L = [[None] * nu for _ in range(nu)]
-    for j in range(nu):
-        s = quu_r[j, j, :]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
-        inv_d = 1.0 / L[j][j]
-        for i in range(j + 1, nu):
-            s = quu_r[i, j, :]
+        eye_u = jnp.eye(nu, dtype=jnp.float32)[:, :, None]
+        quu_r = quu + reg * (puu + eye_u)
+        qux_r = qux + reg * pux  # (nu, nx, S)
+
+        # ---- unrolled Cholesky of quu_r; solve k (vector), K (matrix) ----
+        L = [[None] * nu for _ in range(nu)]
+        for j in range(nu):
+            s = quu_r[j, j, :]
             for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s * inv_d
-    # vector RHS qu -> kv = -quu_r^{-1} qu
-    y = [None] * nu
-    for i in range(nu):
-        s = qu[i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
-    kv = [None] * nu
-    for i in reversed(range(nu)):
-        s = y[i]
-        for k in range(i + 1, nu):
-            s = s + L[k][i] * kv[k]  # kv already carries the minus sign
-        kv[i] = -(s / L[i][i])
-    # matrix RHS qux_r -> Km rows = -quu_r^{-1} qux_r (each (nx, S))
-    Y = [None] * nu
-    for i in range(nu):
-        s = qux_r[i]
-        for k in range(i):
-            s = s - L[i][k][None, :] * Y[k]
-        Y[i] = s / L[i][i][None, :]
-    Km = [None] * nu
-    for i in reversed(range(nu)):
-        s = Y[i]
-        for k in range(i + 1, nu):
-            s = s + L[k][i][None, :] * Km[k]  # Km rows carry the minus sign
-        Km[i] = -(s / L[i][i][None, :])
+                s = s - L[j][k] * L[j][k]
+            L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            inv_d = 1.0 / L[j][j]
+            for i in range(j + 1, nu):
+                s = quu_r[i, j, :]
+                for k in range(j):
+                    s = s - L[i][k] * L[j][k]
+                L[i][j] = s * inv_d
+        # vector RHS qu -> kv = -quu_r^{-1} qu
+        y = [None] * nu
+        for i in range(nu):
+            s = qu[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        kv = [None] * nu
+        for i in reversed(range(nu)):
+            s = y[i]
+            for k in range(i + 1, nu):
+                s = s + L[k][i] * kv[k]  # kv already carries the minus sign
+            kv[i] = -(s / L[i][i])
+        # matrix RHS qux_r -> Km rows = -quu_r^{-1} qux_r (each (nx, S))
+        Y = [None] * nu
+        for i in range(nu):
+            s = qux_r[i]
+            for k in range(i):
+                s = s - L[i][k][None, :] * Y[k]
+            Y[i] = s / L[i][i][None, :]
+        Km = [None] * nu
+        for i in reversed(range(nu)):
+            s = Y[i]
+            for k in range(i + 1, nu):
+                s = s + L[k][i][None, :] * Km[k]  # Km rows carry the minus
+            Km[i] = -(s / L[i][i][None, :])
 
-    for p in range(nu):
-        ks_ref[0, p, :] = kv[p]
-        Ks_ref[0, p, :, :] = Km[p]
+        for p in range(nu):
+            ks_ref[0, p, :] = kv[p]
+            Ks_ref[0, p, :, :] = Km[p]
 
-    # ---- value update with the UNREGULARIZED Q (packed-JZ form):
-    # Zx = Qxx + Qxu K, Zu = Qux + Quu K; V'xx = Zx + K' Zu;
-    # vecx = qx + Qxu k, vecu = qu + Quu k; V'x = vecx + K' vecu.
-    # Qxu rows come from Qux (symmetry), Quu columns from rows.
-    # V'xx MUST be re-symmetrized every step: its anti-symmetric rounding
-    # component sees no feedback cancellation and is amplified by rho(A)^2
-    # (~900/step for a standing Go2) — without this the recursion overflows
-    # f32 within ~3 knots (measured; float64 only delays it by 2 knots).
-    # The transpose is built by mirrored rank-1 loops (swapped operands),
-    # since a (nx, nx, S) leading-dims transpose is an expensive Mosaic
-    # relayout. ----
-    zx, zxT, vecx = qxx, qxxT, qx
-    zu, vecu = qux, qu
-    for p in range(nu):
-        zx = zx + qux[p][:, None, :] * Km[p][None, :, :]
-        zxT = zxT + Km[p][:, None, :] * qux[p][None, :, :]
-        zu = zu + quu[p][:, None, :] * Km[p][None, :, :]
-        vecx = vecx + qux[p] * kv[p]
-        vecu = vecu + quu[p] * kv[p]
-    vxx_n, vxx_nT, vx_n = zx, zxT, vecx
-    for p in range(nu):
-        vxx_n = vxx_n + Km[p][:, None, :] * zu[p][None, :, :]
-        vxx_nT = vxx_nT + zu[p][:, None, :] * Km[p][None, :, :]
-        vx_n = vx_n + Km[p] * vecu[p]
+        if J < 1_000_000:  # tail configured: freeze at the last full knot
+            @pl.when(t == J - 1)
+            def _freeze():
+                # stationary tail: save the factorization/gains/Q-blocks of
+                # the LAST full knot; all earlier knots reuse them (vector
+                # recursion only). The Riccati matrix recursion converges
+                # geometrically backward in time, so J ~ 10-15 knots from the
+                # terminal boundary the gains are stationary to the tolerance
+                # the line search absorbs (mpc/benchmarks.quality_anchor
+                # guards end-to-end cost).
+                for j in range(nu):
+                    for i in range(j, nu):
+                        L_s[i, j, :] = L[i][j]
+                for p in range(nu):
+                    Km_s[p, :, :] = Km[p]
+                    quu_s[p, :, :] = quu[p]
+                    qux_s[p, :, :] = qux[p]
 
-    vx_s[:] = vx_n
-    vxx_s[:] = 0.5 * (vxx_n + vxx_nT)
+        # ---- value update with the UNREGULARIZED Q (packed-JZ form):
+        # Zx = Qxx + Qxu K, Zu = Qux + Quu K; V'xx = Zx + K' Zu;
+        # vecx = qx + Qxu k, vecu = qu + Quu k; V'x = vecx + K' vecu.
+        # Qxu rows come from Qux (symmetry), Quu columns from rows.
+        # V'xx MUST be re-symmetrized every step: its anti-symmetric rounding
+        # component sees no feedback cancellation and is amplified by
+        # rho(A)^2 (~900/step for a standing Go2) — without this the
+        # recursion overflows f32 within ~3 knots (measured; float64 only
+        # delays it by 2 knots). The transpose is built by mirrored rank-1
+        # loops (swapped operands), since a (nx, nx, S) leading-dims
+        # transpose is an expensive Mosaic relayout. ----
+        zx, zxT, vecx = qxx, qxxT, qx
+        zu, vecu = qux, qu
+        for p in range(nu):
+            zx = zx + qux[p][:, None, :] * Km[p][None, :, :]
+            zxT = zxT + Km[p][:, None, :] * qux[p][None, :, :]
+            zu = zu + quu[p][:, None, :] * Km[p][None, :, :]
+            vecx = vecx + qux[p] * kv[p]
+            vecu = vecu + quu[p] * kv[p]
+        vxx_n, vxx_nT, vx_n = zx, zxT, vecx
+        for p in range(nu):
+            vxx_n = vxx_n + Km[p][:, None, :] * zu[p][None, :, :]
+            vxx_nT = vxx_nT + zu[p][:, None, :] * Km[p][None, :, :]
+            vx_n = vx_n + Km[p] * vecu[p]
+
+        vx_s[:] = vx_n
+        vxx_s[:] = 0.5 * (vxx_n + vxx_nT)
+
+    if J < 1_000_000:  # tail configured: emit the vector-only branch
+        @pl.when(t >= J)
+        def _vector_knot():
+            # stationary-tail knot: K, the Quu_r Cholesky factor, and the
+            # unregularized Quu/Qux blocks are frozen from knot T-J; only the
+            # gradient (vector) recursion runs — ~5% of the matrix knot's
+            # work. Correct when the cost Hessians and Jacobians are ~knot-
+            # invariant (true for the near-quadratic Go2 stack: PD torques
+            # are linear in (x, u); lin_stride=50 shares one Jacobian).
+            qx, qu = lx, lu
+            for a in range(nx):
+                qx = qx + A[a] * vx[a]
+                qu = qu + B[a] * vx[a]
+            # kv = -L^{-T} L^{-1} qu with the frozen factor
+            y = [None] * nu
+            for i in range(nu):
+                s = qu[i]
+                for k in range(i):
+                    s = s - L_s[i, k, :] * y[k]
+                y[i] = s / L_s[i, i, :]
+            kv = [None] * nu
+            for i in reversed(range(nu)):
+                s = y[i]
+                for k in range(i + 1, nu):
+                    s = s + L_s[k, i, :] * kv[k]
+                kv[i] = -(s / L_s[i, i, :])
+            for p in range(nu):
+                ks_ref[0, p, :] = kv[p]
+                Ks_ref[0, p, :, :] = Km_s[p, :, :]
+            # vector value update with frozen Q blocks:
+            # vecx = qx + Qxu k, vecu = qu + Quu k; V'x = vecx + K' vecu
+            vecx, vecu = qx, qu
+            for p in range(nu):
+                vecx = vecx + qux_s[p, :, :] * kv[p]
+                vecu = vecu + quu_s[p, :, :] * kv[p]
+            vx_n = vecx
+            for p in range(nu):
+                vx_n = vx_n + Km_s[p, :, :] * vecu[p]
+            vx_s[:] = vx_n
 
 
 def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
                        s_block: int = 128, interpret: bool = False,
-                       jac_stride: int = 1):
+                       jac_stride: int = 1, stationary_tail=None,
+                       hess_tail_only: bool = False):
     """Returns bw(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT) -> (ks, Ks) with
     the standard scenario-major layouts of mpc/riccati.lqr_backward:
     fx (S,T,nx,nx) out-major Jacobians, fu (S,T,nx,nu), lx (S,T,nx),
@@ -180,8 +243,23 @@ def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
     lin_stride Jacobian reuse) and the kernel's index map re-reads the same
     block for all knots in a stride group — replacing the jnp.repeat
     materialization (~280 MB per Jacobian at S=1024, T=50) with free
-    index arithmetic."""
-    kern = functools.partial(_kernel, nx, nu, reg)
+    index arithmetic.
+
+    stationary_tail=J (int): run the full matrix Riccati recursion only for
+    the J knots nearest the terminal boundary; for the remaining T-J knots
+    freeze K/Quu factor/Q-blocks at knot T-J and run the gradient (vector)
+    recursion only (~5% of the matrix knot's work). The backward pass was
+    57% of the 4096-scenario solve (measured r4); with J=10 it drops ~4x.
+    None = full recursion at every knot (exact lqr_backward equivalence).
+
+    hess_tail_only=True (requires stationary_tail): the lxx/luu/lux inputs
+    carry ONLY the J tail knots — (S, J, ...) with row j = knot T-J+j. The
+    vector knots never read cost Hessians, so the caller can skip computing
+    them (quadratize was the solve's #2 stage)."""
+    J = int(stationary_tail) if stationary_tail is not None else 1_000_000
+    if J >= T:
+        J = 1_000_000  # tail empty: compile the exact single-branch kernel
+    kern = functools.partial(_kernel, nx, nu, reg, J)
     Ts = (T + jac_stride - 1) // jac_stride
 
     def call(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
@@ -201,6 +279,14 @@ def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
         rev4 = lambda s, t: (T - 1 - t, 0, 0, s)
         rev3 = lambda s, t: (T - 1 - t, 0, s)
         revj = lambda s, t: ((T - 1 - t) // jac_stride, 0, 0, s)
+        revh = rev4
+        if hess_tail_only:
+            assert J < 1_000_000, "hess_tail_only requires stationary_tail"
+            assert lxx.shape[1] == J, (lxx.shape, J)
+            # compact Hessian row j = knot T-J+j; grid step t < J processes
+            # knot T-1-t -> row J-1-t; vector knots (t >= J) never read the
+            # block — clamp to row 0 (a repeated, ignored DMA)
+            revh = lambda s, t: (jnp.maximum(J - 1 - t, 0), 0, 0, s)
 
         out_shape = [
             jax.ShapeDtypeStruct((T, nu, Sp), jnp.float32),
@@ -214,9 +300,9 @@ def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
                 pl.BlockSpec((1, nx, nu, sb), revj, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nx, sb), rev3, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nu, sb), rev3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nx, nx, sb), rev4, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nu, nu, sb), rev4, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nu, nx, sb), rev4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nx, nx, sb), revh, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nu, sb), revh, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nx, sb), revh, memory_space=pltpu.VMEM),
                 pl.BlockSpec((nx, sb), lambda s, t: (0, s),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nx, nx, sb), lambda s, t: (0, 0, s),
@@ -230,6 +316,12 @@ def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
             scratch_shapes=[
                 pltpu.VMEM((nx, sb), jnp.float32),
                 pltpu.VMEM((nx, nx, sb), jnp.float32),
+                # stationary-tail freeze slots (L factor, K, Quu, Qux);
+                # ~600 KB at sb=128 — idle unless stationary_tail is set
+                pltpu.VMEM((nu, nu, sb), jnp.float32),
+                pltpu.VMEM((nu, nx, sb), jnp.float32),
+                pltpu.VMEM((nu, nu, sb), jnp.float32),
+                pltpu.VMEM((nu, nx, sb), jnp.float32),
             ],
             interpret=interpret,
         )(tm(fx), tm(fu), tm(lx), tm(lu), tm(lxx), tm(luu), tm(lux),

@@ -86,12 +86,19 @@ def _march(terrain, cfg, base_pos, base_quat, ray_dirs, n_steps):
 def _terrain_type_at(terrain: TerrainField, x, y):
     """Terrain-type column index of the subterrain grid cell at world (x, y)
     (the grid is num_rows levels x num_cols types; env cell centers are
-    env_origins)."""
+    env_origins). Hits outside the typed subterrain grid — the flat border
+    ring — return the -1 sentinel (ADVICE r3 #4: clipping labeled border
+    hits with the nearest real terrain type; the border is not a typed
+    subterrain, so it gets the same sentinel as a miss)."""
     if terrain.is_plane:
         return jnp.zeros(x.shape, dtype=jnp.int32)
+    x0 = terrain.env_origins[0, 0, 0] - terrain.env_length * 0.5
     y0 = terrain.env_origins[0, 0, 1] - terrain.env_width * 0.5
+    row = jnp.floor((x - x0) / terrain.env_length)
     col = jnp.floor((y - y0) / terrain.env_width)
-    return jnp.clip(col, 0, terrain.num_cols - 1).astype(jnp.int32)
+    inside = ((row >= 0) & (row < terrain.num_rows)
+              & (col >= 0) & (col < terrain.num_cols))
+    return jnp.where(inside, col, -1).astype(jnp.int32)
 
 
 def _cell_index_at(terrain: TerrainField, x, y):

@@ -244,6 +244,26 @@ class OnPolicyRunner:
         with open(path, "wb") as f:
             pickle.dump(payload, f)
 
+    @staticmethod
+    def _migrate_legacy_std(tree, moments: bool = False):
+        """Pre-r3 checkpoints carry a `log_std` noise parameter; r3 switched
+        to the reference's direct-std parameterization (networks.std_param).
+        Convert in place so old checkpoints stay loadable (ADVICE r3):
+        std = exp(log_std). Adam moments (moments=True) for the renamed
+        parameter are reset to zero — a moment of log_std has no meaning for
+        std."""
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if k == "log_std" and not isinstance(v, dict):
+                    v = np.asarray(v)
+                    out["std"] = np.zeros_like(v) if moments else np.exp(v)
+                else:
+                    out[k] = OnPolicyRunner._migrate_legacy_std(
+                        v, moments or k == "opt_state")
+            return out
+        return tree
+
     def load(self, st: RunnerState, path: str, policy_only: bool = False) -> RunnerState:
         """Restore from `save`. Default: full deterministic resume when the
         checkpoint's env count matches (falls back to policy-only otherwise —
@@ -253,11 +273,17 @@ class OnPolicyRunner:
             payload = pickle.load(f)
         self.iter = payload["iter"]
         full = payload.get("runner_state")
+        migrate = lambda b, tgt: serialization.from_state_dict(
+            tgt, self._migrate_legacy_std(serialization.msgpack_restore(b)))
         if (not policy_only and full is not None
                 and payload.get("num_envs") == self.env.num_envs):
-            return serialization.from_bytes(st, full)
-        params = serialization.from_bytes(st.ppo.params, payload["params"])
-        opt_state = serialization.from_bytes(st.ppo.opt_state, payload["opt_state"])
+            return migrate(full, st)
+        params = migrate(payload["params"], st.ppo.params)
+        opt_state = serialization.from_state_dict(
+            st.ppo.opt_state,
+            self._migrate_legacy_std(
+                serialization.msgpack_restore(payload["opt_state"]),
+                moments=True))
         return st.replace(
             ppo=st.ppo.replace(
                 params=params, opt_state=opt_state, lr=jnp.float32(payload["lr"])

@@ -27,15 +27,37 @@ def _masked_adam(lr, params, module_names):
     )
 
 
-def _mb_scan(key, total, n_steps, mb_size, body, init):
-    """Scan `body` over rotated contiguous minibatch start offsets (row
-    gathers are pathologically slow on the TPU backend; see ppo.update)."""
-    from hcr_genesis_lr_cl_tpu.rl.ppo import _rotated_minibatch_starts
+def _mb_scan(cfg: AlgorithmCfg, key, flat, keys, body, init):
+    """Scan `body(carry, mb) -> (carry, loss)` over the distillation
+    minibatches, honoring cfg.minibatch_scheme exactly like ppo.update
+    (ADVICE r3 #2: the supervised encoder/estimator losses see the same
+    temporally-correlated-gradient pathology as the RL loss, so the
+    reference-exact randperm default applies here too — one permutation of
+    the flat rows per update, reused across epochs, minibatches as
+    contiguous slices of the permuted buffer; "rotated" keeps the legacy
+    gather-free rotated-slices approximation)."""
+    total = flat[keys[0]].shape[0]
+    n_mb = cfg.num_mini_batches
+    mb_size = total // n_mb
+    n_steps = cfg.num_learning_epochs * n_mb
+    if cfg.minibatch_scheme == "randperm":
+        perm = jax.random.permutation(key, total)
+        flat2 = {k: flat[k][perm] for k in keys}
+        starts = jnp.tile(jnp.arange(n_mb) * mb_size,
+                          cfg.num_learning_epochs)
+    else:
+        from hcr_genesis_lr_cl_tpu.rl.ppo import _rotated_minibatch_starts
 
-    n_mb = max(1, total // mb_size)
-    n_epochs = (n_steps + n_mb - 1) // n_mb
-    starts = _rotated_minibatch_starts(key, n_epochs, n_mb, total, mb_size)
-    return jax.lax.scan(body, init, starts[:n_steps])
+        n_epochs = (n_steps + n_mb - 1) // n_mb
+        starts = _rotated_minibatch_starts(key, n_epochs, n_mb, total, mb_size)
+        flat2 = {k: jnp.concatenate([flat[k], flat[k]], axis=0) for k in keys}
+
+    def slice_body(carry, start):
+        mb = {k: jax.lax.dynamic_slice_in_dim(v, start, mb_size)
+              for k, v in flat2.items()}
+        return body(carry, mb)
+
+    return jax.lax.scan(slice_body, init, starts[:n_steps])
 
 
 class PPO_TS(PPO):
@@ -86,24 +108,15 @@ class PPO_TS(PPO):
 
     def _distill_update(self, st: PPOState, flat: dict, key,
                         keys) -> Tuple[PPOState, Dict]:
-        cfg = self.cfg
-        total = flat["terminated"].shape[0]
-        n_steps = cfg.num_learning_epochs * cfg.num_mini_batches
-        mb_size = total // cfg.num_mini_batches
-
-        flat2 = {k: jnp.concatenate([flat[k], flat[k]], axis=0) for k in keys}
-
-        def body(carry, start):
+        def body(carry, mb):
             params, opt_state = carry
-            mb = {k: jax.lax.dynamic_slice_in_dim(v, start, mb_size)
-                  for k, v in flat2.items()}
             loss, grads = jax.value_and_grad(self._encoder_loss)(params, mb)
             updates, opt_state = self.enc_tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
         (params, eos), losses = _mb_scan(
-            key, total, n_steps, mb_size, body, (st.params, st.extra_opt_state)
+            self.cfg, key, flat, keys, body, (st.params, st.extra_opt_state)
         )
         return (
             st.replace(params=params, extra_opt_state=eos),
@@ -188,27 +201,16 @@ class PPO_EE(PPO):
         return jnp.mean(jnp.square(pred * m - mb["estimator_labels"] * m))
 
     def extra_update(self, st: PPOState, flat: dict, key) -> Tuple[PPOState, Dict]:
-        cfg = self.cfg
-        total = flat["terminated"].shape[0]
-        n_steps = cfg.num_learning_epochs * cfg.num_mini_batches
-        mb_size = total // cfg.num_mini_batches
-
-        flat2 = {
-            k: jnp.concatenate([flat[k], flat[k]], axis=0)
-            for k in ("obs", "estimator_labels", "terminated")
-        }
-
-        def body(carry, start):
+        def body(carry, mb):
             params, opt_state = carry
-            mb = {k: jax.lax.dynamic_slice_in_dim(v, start, mb_size)
-                  for k, v in flat2.items()}
             loss, grads = jax.value_and_grad(self._estimator_loss)(params, mb)
             updates, opt_state = self.est_tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
         (params, eos), losses = _mb_scan(
-            key, total, n_steps, mb_size, body, (st.params, st.extra_opt_state)
+            self.cfg, key, flat, ("obs", "estimator_labels", "terminated"),
+            body, (st.params, st.extra_opt_state)
         )
         return (
             st.replace(params=params, extra_opt_state=eos),

@@ -77,6 +77,7 @@ def play(args):
         pt, onnx = export_policy(
             tcfg.runner.runner_class_name, jax.device_get(st.ppo.params),
             tcfg.policy, cfg.env, os.path.join(args.out_dir, "exported"),
+            sensor_cfg=cfg.sensor,
         )
         print(f"exported policy: {pt} {onnx}")
 

@@ -110,3 +110,26 @@ class TestCameraModes:
             H, W = seg.shape
             segs.append(int(seg[H - 1, W // 2]))  # bottom-center ray: straight down-ish
         assert segs == [0, 1, 2]
+
+    def test_segmentation_border_sentinel(self):
+        """Hits landing on the flat border ring OUTSIDE the typed subterrain
+        grid get the -1 sentinel, not the clipped-nearest terrain type
+        (ADVICE r3 #4)."""
+        tcfg = TerrainCfg(mesh_type="heightfield", num_rows=2, num_cols=3,
+                          terrain_length=4.0, terrain_width=4.0,
+                          border_size=2.0)
+        terrain = TerrainField.build(tcfg, seed=0)
+        cfg = DepthCameraCfg(resolution=(16, 12), pos=(0.0, 0.0, 0.0))
+        rays = dc.make_ray_dirs(cfg)
+        org = np.asarray(terrain.env_origins)
+        bq = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+        # camera over the border strip beyond column 0 (one env width to -y)
+        bp = jnp.asarray(org[0, 0][None]
+                         + np.array([0.0, -4.0, 1.0], dtype=np.float32))
+        out = dc.render(terrain, cfg, bp, bq, rays,
+                        modes=("segmentation", "depth"), n_steps=128)
+        seg = np.asarray(out["segmentation"])[0]
+        hit = np.asarray(out["depth"])[0] < 1.0 - 1e-6
+        H, W = seg.shape
+        assert hit[H - 1, W // 2]  # down-ish ray hits the border plane
+        assert seg[H - 1, W // 2] == -1

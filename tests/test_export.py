@@ -108,3 +108,30 @@ class TestExport:
             runner.alg.act_inference(st.ppo.params, jnp.asarray(obs), jnp.asarray(hist))
         )
         np.testing.assert_allclose(a_jax, a_torch, atol=1e-5)
+
+    def test_ts_depth_student_export(self, tmp_path):
+        """Vision-student export round trip (VERDICT r3 item 9): TorchScript
+        DepthStudent(obs, depth, obs_history) == flax act_student, incl. the
+        asymmetric SAME-padding conv conversion and HWC-order flatten."""
+        env = registry.make_env("go2_ts_depth", num_envs=2)
+        _, tcfg = registry.get_cfgs("go2_ts_depth")
+        runner = make_runner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+        pt, onnx = export_policy(
+            "TSDepthRunner", jax.device_get(st.ppo.params), tcfg.policy,
+            env.cfg.env, str(tmp_path), sensor_cfg=env.cfg.sensor,
+        )
+        mod = torch.jit.load(pt)
+        rng = np.random.default_rng(3)
+        W, H = env.cfg.sensor.depth_camera.resolution
+        nso = env.cfg.env.num_single_obs or env.cfg.env.num_observations
+        obs = rng.normal(size=(2, env.cfg.env.num_observations)).astype(np.float32)
+        depth = rng.uniform(size=(2, H, W)).astype(np.float32)
+        hist = rng.normal(size=(2, nso * env.cfg.env.frame_stack)).astype(np.float32)
+        with torch.no_grad():
+            a_torch = mod(torch.from_numpy(obs), torch.from_numpy(depth),
+                          torch.from_numpy(hist)).numpy()
+        a_jax = np.asarray(runner.alg.act_inference(
+            st.ppo.params, jnp.asarray(obs), jnp.asarray(depth),
+            jnp.asarray(hist)))
+        np.testing.assert_allclose(a_jax, a_torch, atol=1e-5)

@@ -54,3 +54,98 @@ def test_matches_packed_padding_path():
 
 def test_matches_packed_reg0():
     _compare(S=3, T=8, nx=9, nu=4, reg=0.0, s_block=8)
+
+
+def _ti_problem(S, T, nx, nu, key, a_scale=0.5):
+    """Time-invariant dynamics/Hessians; only the gradients vary per knot —
+    the regime the stationary tail is designed for (lin_stride=T shares one
+    Jacobian; the Go2 cost stack is near-quadratic). a_scale contractive
+    (0.5) makes the matrix recursion converge within ~8 knots, so the
+    frozen-tail approximation is exact to test tolerance; near-marginal
+    dynamics (0.9+) converge too slowly for a closeness assertion."""
+    ks = jax.random.split(key, 9)
+    rep = lambda z: jnp.tile(z[:, None], (1, T) + (1,) * (z.ndim - 1))
+    fx = rep(jnp.eye(nx)[None] * a_scale
+             + 0.03 * jax.random.normal(ks[0], (S, nx, nx)))
+    fu = rep(0.1 * jax.random.normal(ks[1], (S, nx, nu)))
+    lx = jax.random.normal(ks[2], (S, T, nx))
+    lu = jax.random.normal(ks[3], (S, T, nu))
+    W = 0.3 * jax.random.normal(ks[4], (S, nx, nx))
+    lxx = rep(jnp.eye(nx)[None] + W @ jnp.swapaxes(W, -1, -2))
+    V = 0.3 * jax.random.normal(ks[5], (S, nu, nu))
+    luu = rep(jnp.eye(nu)[None] + V @ jnp.swapaxes(V, -1, -2))
+    lux = rep(0.2 * jax.random.normal(ks[6], (S, nu, nx)))
+    vxT = jax.random.normal(ks[7], (S, nx))
+    Wt = 0.3 * jax.random.normal(ks[8], (S, nx, nx))
+    vxxT = jnp.eye(nx)[None] + Wt @ jnp.swapaxes(Wt, -1, -2)
+    return fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT
+
+
+def test_stationary_tail_exact_on_matrix_knots():
+    """Knots inside the full-matrix window (the J nearest the terminal
+    boundary) are computed by the identical code path — they must be
+    bitwise-equal to the J=None kernel's."""
+    S, T, nx, nu, J = 3, 12, 9, 4, 5
+    args = _problem(S, T, nx, nu, jax.random.PRNGKey(1))
+    full = make_lane_backward(nx, nu, T, reg=0.4, s_block=8, interpret=True)
+    tail = make_lane_backward(nx, nu, T, reg=0.4, s_block=8, interpret=True,
+                              stationary_tail=J)
+    k_f, K_f = full(*args)
+    k_t, K_t = tail(*args)
+    np.testing.assert_array_equal(np.asarray(k_t[:, T - J:]),
+                                  np.asarray(k_f[:, T - J:]))
+    np.testing.assert_array_equal(np.asarray(K_t[:, T - J:]),
+                                  np.asarray(K_f[:, T - J:]))
+
+
+def test_stationary_tail_converged_gains_time_invariant():
+    """With time-invariant dynamics and Hessians, the matrix recursion
+    converges geometrically; a J giving convergence makes the frozen-K tail
+    agree with the full recursion everywhere (gains AND feedforward)."""
+    S, T, nx, nu, J = 3, 24, 9, 4, 12
+    args = _ti_problem(S, T, nx, nu, jax.random.PRNGKey(2))
+    ref_k, ref_K = jax.vmap(functools.partial(riccati.lqr_backward, reg=0.4))(
+        *args)
+    tail = make_lane_backward(nx, nu, T, reg=0.4, s_block=8, interpret=True,
+                              stationary_tail=J)
+    k_t, K_t = tail(*args)
+    scale_k = float(jnp.abs(ref_k).max()) + 1.0
+    scale_K = float(jnp.abs(ref_K).max()) + 1.0
+    np.testing.assert_allclose(np.asarray(K_t) / scale_K,
+                               np.asarray(ref_K) / scale_K, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(k_t) / scale_k,
+                               np.asarray(ref_k) / scale_k, atol=2e-3)
+
+
+def test_stationary_tail_strided_jacobians():
+    """stationary_tail composes with jac_stride (the bench config)."""
+    S, T, nx, nu, J, stride = 3, 12, 9, 4, 6, 12
+    args = _ti_problem(S, T, nx, nu, jax.random.PRNGKey(3))
+    fx, fu = args[0][:, ::stride], args[1][:, ::stride]
+    ref_k, ref_K = jax.vmap(functools.partial(riccati.lqr_backward, reg=0.4))(
+        *args)
+    tail = make_lane_backward(nx, nu, T, reg=0.4, s_block=8, interpret=True,
+                              jac_stride=stride, stationary_tail=J)
+    k_t, K_t = tail(fx, fu, *args[2:])
+    scale_k = float(jnp.abs(ref_k).max()) + 1.0
+    np.testing.assert_allclose(np.asarray(k_t) / scale_k,
+                               np.asarray(ref_k) / scale_k, atol=5e-3)
+
+
+def test_hess_tail_only_matches_full_hessian_inputs():
+    """hess_tail_only: passing ONLY the J tail knots of lxx/luu/lux gives
+    bitwise the same gains as the same stationary-tail kernel fed full-T
+    Hessians (the vector knots never read them)."""
+    S, T, nx, nu, J = 3, 12, 9, 4, 5
+    args = _problem(S, T, nx, nu, jax.random.PRNGKey(4))
+    fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT = args
+    tail = make_lane_backward(nx, nu, T, reg=0.4, s_block=8, interpret=True,
+                              stationary_tail=J)
+    compact = make_lane_backward(nx, nu, T, reg=0.4, s_block=8,
+                                 interpret=True, stationary_tail=J,
+                                 hess_tail_only=True)
+    k_f, K_f = tail(*args)
+    k_c, K_c = compact(fx, fu, lx, lu, lxx[:, T - J:], luu[:, T - J:],
+                       lux[:, T - J:], vxT, vxxT)
+    np.testing.assert_array_equal(np.asarray(k_c), np.asarray(k_f))
+    np.testing.assert_array_equal(np.asarray(K_c), np.asarray(K_f))

@@ -215,3 +215,57 @@ class TestFullCheckpointResume:
                         jax.tree.leaves(st4.ppo.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert st4.env_state.episode_length.shape[0] == 4
+
+class TestLegacyCheckpointMigration:
+    def test_log_std_checkpoint_loads(self, tmp_path):
+        """Pre-r3 checkpoints carry a `log_std` noise parameter (renamed to
+        direct `std` in r3, ADVICE r3 #1): load() must convert them
+        (std = exp(log_std); Adam moments for the renamed leaf reset to 0)
+        instead of raising on the key mismatch."""
+        import pickle
+
+        from flax import serialization
+
+        from hcr_genesis_lr_cl_tpu.envs import registry
+        from hcr_genesis_lr_cl_tpu.rl.runner import OnPolicyRunner
+
+        env = registry.make_env("go2", num_envs=4)
+        _, tcfg = registry.get_cfgs("go2")
+        runner = OnPolicyRunner(env, tcfg)
+        st = runner.init_state(jax.random.PRNGKey(0))
+
+        def to_legacy(tree, moments=False):
+            if isinstance(tree, dict):
+                return {
+                    ("log_std" if k == "std" and not isinstance(v, dict) else k):
+                    (np.log(np.asarray(v)) + 0.25
+                     if k == "std" and not isinstance(v, dict) and not moments
+                     else to_legacy(v, moments or k == "opt_state"))
+                    for k, v in tree.items()
+                }
+            return tree
+
+        legacy_params = to_legacy(
+            serialization.to_state_dict(jax.device_get(st.ppo.params)))
+        legacy_opt = to_legacy(
+            serialization.to_state_dict(jax.device_get(st.ppo.opt_state)),
+            moments=True)
+        payload = {
+            "params": serialization.msgpack_serialize(legacy_params),
+            "opt_state": serialization.msgpack_serialize(legacy_opt),
+            "lr": 1e-3,
+            "iter": 7,
+            "runner_state": None,
+            "num_envs": 4,
+        }
+        path = str(tmp_path / "legacy.ckpt")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+        st2 = runner.load(runner.init_state(jax.random.PRNGKey(1)), path)
+        assert runner.iter == 7
+        # std = exp(log(std) + 0.25) = std * e^0.25
+        got = np.asarray(st2.ppo.params["params"]["std"])
+        want = np.asarray(jax.device_get(st.ppo.params)["params"]["std"]) \
+            * np.exp(0.25)
+        np.testing.assert_allclose(got, want, rtol=1e-6)

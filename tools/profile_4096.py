@@ -1,0 +1,182 @@
+"""Focused stage timing at the HEADLINE bench config (S=4096, T=50,
+lin_stride=50, relin_every=2, 2 iters, fused forward) — the r3 profile ran
+only S=1024 and each standalone number carries ~30 ms of axon dispatch
+latency, which made the in-solve stage budget guesswork. This measures each
+stage at S=4096 plus an empty-kernel dispatch floor to subtract.
+
+Run: python tools/profile_4096.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
+
+
+def timeit(name, fn, *args, n=5, warmup=2):
+    """Median wall time with DISTINCT inputs per call: the axon runtime
+    result-caches repeat executions with bit-identical inputs (returns in
+    ~5 ms), which silently fabricates numbers — measured 167 ms vs the
+    honest 216 ms for the tail=10 solve. Jitters the first float array."""
+    def jitter(i, args):
+        out, done = [], False
+        for a in args:
+            if not done and isinstance(a, jnp.ndarray) and a.dtype == jnp.float32:
+                out.append(a + 1e-6 * (i + 1))
+                done = True
+            else:
+                out.append(a)
+        return tuple(out)
+
+    for i in range(warmup):
+        jax.block_until_ready(fn(*jitter(i, args)))
+    ts = []
+    for i in range(n):
+        a = jitter(100 + i, args)
+        jax.block_until_ready(a)
+        t0 = time.time()
+        jax.block_until_ready(fn(*a))
+        ts.append(time.time() - t0)
+    med = float(np.median(ts)) * 1e3
+    print(f"{name:52s} {med:9.2f} ms", flush=True)
+    return med
+
+
+def main(S=4096, T=50, block_b=2048, lin_stride=50):
+    env, mm = benchmarks.make_go2_mpc()
+    w = mcosts.CostWeights()
+    nx = mdyn.nx(mm.model)
+    nu = mm.model.nj
+    uidx = jnp.asarray(mm.model.user_dof_idx)
+    x0, params = benchmarks.sample_scenarios(jax.random.PRNGKey(0), env, mm, S)
+    u0 = jnp.zeros((S, T, nu))
+    dyn_batch = fdy.make_kernel_dyn(mm, block_b=block_b)
+
+    # dispatch floor: a trivial jitted fn
+    f_id = jax.jit(lambda x: x + 1.0)
+    floor = timeit("dispatch floor (x+1 @ (4096,37))", f_id, x0)
+
+    from hcr_genesis_lr_cl_tpu.ops import rollout_kernel as rkn
+
+    fused_ro = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b))
+    timeit(f"rollout FUSED T={T} @ S={S}", fused_ro, x0, u0)
+    xs = fused_ro(x0, u0)
+
+    # FD linearize at the bench stride (Ts=1): S rows x (nx+nu+1) pert
+    Ts = (T + lin_stride - 1) // lin_stride
+
+    def to_topo(u):
+        return jnp.zeros(u.shape[:-1] + (nu,)).at[..., uidx].set(u)
+
+    @jax.jit
+    def linearize(xs, us):
+        xs_k = xs[:, :1].reshape(S * Ts, nx)
+        us_k = to_topo(us[:, :1].reshape(S * Ts, nu))
+        _, fx, fu = fdy.fd_linearize(dyn_batch, xs_k, us_k)
+        return fx, fu
+
+    timeit(f"FD linearize ({S * Ts} rows x {nx + nu + 1} pert)",
+           linearize, xs, u0)
+    fx1, fu1 = linearize(xs, u0)
+    fx_c = fx1.reshape(S, Ts, nx, nx)
+    fu_c = fu1.reshape(S, Ts, nx, nu)[..., uidx]
+
+    def stage_cost(p, x, u, up, t):
+        return mcosts.stage_cost(mm, w, p, x, u, up, t)
+
+    def term_cost(p, x):
+        return mcosts.terminal_cost(mm, w, p, x)
+
+    @jax.jit
+    def quadratize(params, xs, us):
+        up = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        ts = jnp.arange(T)
+
+        def knot(p, x, u, upr, t):
+            lx = jax.grad(stage_cost, argnums=1)(p, x, u, upr, t)
+            lu = jax.grad(stage_cost, argnums=2)(p, x, u, upr, t)
+            lxx = jax.hessian(stage_cost, argnums=1)(p, x, u, upr, t)
+            luu = jax.hessian(stage_cost, argnums=2)(p, x, u, upr, t)
+            lux = jax.jacfwd(jax.grad(stage_cost, argnums=2), argnums=1)(
+                p, x, u, upr, t)
+            return lx, lu, lxx, luu, lux
+
+        out = jax.vmap(
+            lambda p, xr, ur, upr: jax.vmap(knot, in_axes=(None, 0, 0, 0, 0))(
+                p, xr, ur, upr, ts))(params, xs[:, :-1], us, up)
+        vxT = jax.vmap(jax.grad(term_cost, argnums=1))(params, xs[:, -1])
+        vxxT = jax.vmap(jax.hessian(term_cost, argnums=1))(params, xs[:, -1])
+        return out + (vxT, vxxT)
+
+    timeit("quadratize (autodiff cost derivs)", quadratize, params, xs, u0)
+    lx, lu, lxx, luu, lux, vxT, vxxT = quadratize(params, xs, u0)
+
+    from hcr_genesis_lr_cl_tpu.ops.riccati_kernel import make_lane_backward
+
+    lane_bw = jax.jit(make_lane_backward(nx, nu, T, reg=0.5,
+                                         jac_stride=lin_stride))
+    timeit(f"Riccati backward (lane kernel, S={S}, stride={lin_stride})",
+           lane_bw, fx_c, fu_c, lx, lu, lxx, luu, lux, vxT, vxxT)
+    tail_bw = jax.jit(make_lane_backward(nx, nu, T, reg=0.5,
+                                         jac_stride=lin_stride,
+                                         stationary_tail=10))
+    timeit(f"Riccati backward (lane kernel, tail=10)",
+           tail_bw, fx_c, fu_c, lx, lu, lxx, luu, lux, vxT, vxxT)
+    ks, Ks = lane_bw(fx_c, fu_c, lx, lu, lxx, luu, lux, vxT, vxxT)
+
+    # fused line search, A=3
+    alphas = jnp.asarray([1.0, 0.1, 0.01])
+    A = 3
+    fused_ls = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b,
+                                                ls=True))
+
+    @jax.jit
+    def forward_all_fused(x0, xs, us, ks, Ks):
+        rep = lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1))
+        al = jnp.repeat(alphas, S)
+        return fused_ls(rep(x0), rep(xs), rep(us), rep(ks), rep(Ks), al)
+
+    timeit(f"forward line search FUSED T={T} @ B={A * S}",
+           forward_all_fused, x0, xs, u0, ks, Ks)
+    xs_n, us_n = forward_all_fused(x0, xs, u0, ks, Ks)
+
+    # cost eval over the alpha grid (the _select_best half of forward_all)
+    @jax.jit
+    def cost_all(params, xs_n, us_n):
+        pb = jax.tree.map(lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1)),
+                          params)
+        up = jnp.concatenate([us_n[:, :1], us_n[:, :-1]], axis=1)
+        ts = jnp.arange(T)
+        stage = jax.vmap(
+            lambda p, xr, ur, upr: jax.vmap(
+                stage_cost, in_axes=(None, 0, 0, 0, 0))(p, xr, ur, upr, ts)
+        )(pb, xs_n[:, :-1], us_n, up)
+        terml = jax.vmap(term_cost)(pb, xs_n[:, -1])
+        return stage.sum(axis=1) + terml
+
+    timeit(f"cost eval @ B={A * S}", cost_all, params, xs_n, us_n)
+
+    # full solve reference
+    from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+    for fwd, tail in (("fused", None), ("fused", 10), ("scan", None)):
+        solve = ilqr_fd.make_fd_solver(mm, w, T, n_iters=2, block_b=block_b,
+                                       relin_every=2, lin_stride=lin_stride,
+                                       forward_mode=fwd, stationary_tail=tail)
+        timeit(f"FULL solve (S={S}, 2 iters, fwd={fwd}, tail={tail})",
+               solve, x0, params, u0, n=3)
+    print(f"(dispatch floor was {floor:.1f} ms — subtract from each line)")
+
+
+if __name__ == "__main__":
+    main()
