@@ -568,6 +568,22 @@ class LeggedEnv:
         metrics = {}
         metrics.update(self.extra_metrics(state))
         if c.terrain.curriculum and c.terrain.mesh_type != "plane":
+            # promotion telemetry (VERDICT r4: the go2_ts level-0 stall was
+            # undiagnosable from terrain_level alone): walked distance at
+            # done + the move_up/move_down fractions the curriculum derives
+            # from it (reference :254-272 computes but never logs these)
+            dist = jnp.linalg.norm(
+                state.physics.base_pos[:, :2] - state.env_origins[:, :2],
+                axis=-1)
+            up = dist > self.terrain.env_length / 2
+            req = (jnp.linalg.norm(state.commands[:, :2], axis=-1)
+                   * c.env.episode_length_s * 0.5)
+            cnt = jnp.maximum(jnp.sum(done.astype(jnp.float32)), 1.0)
+            at_done = lambda v: jnp.sum(jnp.where(done, v, 0.0)) / cnt
+            metrics["curr_dist_at_done"] = at_done(dist)
+            metrics["curr_frac_move_up"] = at_done(up.astype(jnp.float32))
+            metrics["curr_frac_move_down"] = at_done(
+                ((dist < req) & (~up)).astype(jnp.float32))
             state = self._terrain_curriculum(state, done)
             metrics["terrain_level"] = jnp.mean(state.terrain_row.astype(jnp.float32))
         if c.commands.curriculum:

@@ -28,6 +28,9 @@ def get_args(argv=None):
     ap.add_argument("--num_envs", type=int, default=64)
     ap.add_argument("--load_run", default="-1")
     ap.add_argument("--checkpoint", type=int, default=-1)
+    ap.add_argument("--ckpt", default=None,
+                    help="direct path to a model_*.ckpt (bypasses log-dir "
+                         "discovery)")
     ap.add_argument("--random_policy", action="store_true")
     ap.add_argument("--logdir_root", default="logs")
     return ap.parse_args(argv)
@@ -44,8 +47,11 @@ def evaluate(args):
     runner = make_runner(env, tcfg)
     st = runner.init_state(jax.random.PRNGKey(0))
     if not args.random_policy:
-        exp_dir = os.path.join(args.logdir_root, tcfg.runner.experiment_name)
-        ckpt = find_checkpoint(exp_dir, args.load_run, args.checkpoint)
+        if args.ckpt:
+            ckpt = args.ckpt
+        else:
+            exp_dir = os.path.join(args.logdir_root, tcfg.runner.experiment_name)
+            ckpt = find_checkpoint(exp_dir, args.load_run, args.checkpoint)
         print(f"loading {ckpt}")
         st = runner.load(st, ckpt, policy_only=True)
 

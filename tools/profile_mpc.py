@@ -175,6 +175,15 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50, compact=False):
     stages["backward_lanes"] = timeit(
         f"Riccati backward (lane kernel, S={S})", lane_bw,
         fx_c, fu_c, lx, lu, lxx, luu, lux, vxT, vxxT, jitter_fn=jit_b)
+    # stationary-tail backward (the r4 bench default, BENCH_MPC_TAIL=10)
+    tail_bw = jax.jit(make_lane_backward(nx, nu, T, reg=0.5,
+                                         jac_stride=lin_stride,
+                                         stationary_tail=10,
+                                         hess_tail_only=True))
+    stages["backward_tail10"] = timeit(
+        f"Riccati backward (tail=10, hess-tail, S={S})", tail_bw,
+        fx_c, fu_c, lx, lu, lxx[:, T - 10:], luu[:, T - 10:],
+        lux[:, T - 10:], vxT, vxxT, jitter_fn=jit_b)
 
     # ---- stage: forward line search (A=3 alphas) ----
     alphas = jnp.asarray([1.0, 0.1, 0.01])
@@ -228,7 +237,8 @@ def main(S=1024, T=50, block_b=2048, lin_stride=50, compact=False):
     # ---- full solve for reference ----
     from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
     solve = ilqr_fd.make_fd_solver(mm, w, T, n_iters=2, block_b=block_b,
-                                   relin_every=2, lin_stride=lin_stride)
+                                   relin_every=2, lin_stride=lin_stride,
+                                   forward_mode="fused", stationary_tail=10)
 
     def jit_s(i, x0, params, u0):
         return jitter_x(i, x0) + (params, u0)

@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-4 TPU training/eval queue (VERDICT r3 items 3, 4, 6, 8).
+# Run from /root/repo: nohup bash tools/queue_r4.sh > runs_parity/queue_r4.log 2>&1 &
+set -x
+cd /root/repo
+# APPEND to PYTHONPATH — clobbering it drops /root/.axon_site, which
+# registers the axon TPU backend (the r3 A/B logs died the same way on a
+# missing-module error)
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
+
+# --- item 6: randperm-vs-rotated A/B with REAL surviving evidence (the r3
+# logs were PYTHONPATH tracebacks) ---
+python tools/exp_train.py --task go2 --iters 300 --seed 1 \
+  --out runs_parity/ab_randperm --iters_per_call 10 \
+  && echo "AB randperm done"
+python tools/exp_train.py --task go2 --iters 300 --seed 1 \
+  --out runs_parity/ab_rotated --iters_per_call 10 \
+  --algo minibatch_scheme=rotated \
+  && echo "AB rotated done"
+
+# --- item 8: go2 flat to a clean plateau (the 1000-iter run regressed
+# 1001 -> 769 ep_len over its last 400 iters) ---
+python tools/exp_train.py --task go2 --iters 2000 --seed 0 \
+  --out runs_parity/go2_flat_2000 --iters_per_call 10 \
+  && echo "flat 2000 done"
+
+# --- items 3+4: fresh reference-schedule (3000-iter) rough runs with the
+# new curriculum-promotion telemetry (curr_dist_at_done, curr_frac_move_*) ---
+python tools/exp_train.py --task go2_cat --iters 3000 --seed 0 \
+  --out runs_parity/go2_cat_3000 --iters_per_call 10 \
+  && echo "cat 3000 done"
+python tools/exp_train.py --task go2_ts --iters 3000 --seed 0 \
+  --out runs_parity/go2_ts_3000 --iters_per_call 10 \
+  && echo "ts 3000 done"
+
+# --- item 3: re-evaluate the CaT-vs-TS table at the reference budget ---
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_cat \
+  --ckpt runs_parity/go2_cat_3000/model_3000.ckpt \
+  > runs_parity/violation_cat_3000.txt 2>&1
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_ts \
+  --ckpt runs_parity/go2_ts_3000/model_3000.ckpt \
+  > runs_parity/violation_ts_3000.txt 2>&1
+echo "queue_r4 complete"
