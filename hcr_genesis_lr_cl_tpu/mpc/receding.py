@@ -39,7 +39,8 @@ def make_receding_controller(mm: mdyn.MpcModel, weights: mcosts.CostWeights,
                              horizon: int, n_iters: int = 1,
                              alphas=(1.0, 0.1, 0.01), block_b: int = 1024,
                              interpret: bool = False, lin_stride: int = 0,
-                             plant_dyn=None):
+                             plant_dyn=None, forward_mode: str = "fused",
+                             stationary_tail=10):
     """Returns (init, tick):
 
     - init(x0 (S,nx), params) -> RhState: cold-solves the first plan.
@@ -53,13 +54,17 @@ def make_receding_controller(mm: mdyn.MpcModel, weights: mcosts.CostWeights,
     """
     if lin_stride <= 0:
         lin_stride = horizon  # one Jacobian per trajectory (bench-validated)
+    if interpret and forward_mode == "fused":
+        forward_mode = "scan"  # the fused kernel's interpret path is slow
     solve = ilqr_fd.make_fd_solver(
         mm, weights, horizon, n_iters=n_iters, alphas=alphas, block_b=block_b,
         interpret=interpret, relin_every=max(n_iters, 1), lin_stride=lin_stride,
+        forward_mode=forward_mode, stationary_tail=stationary_tail,
     )
     cold = ilqr_fd.make_fd_solver(
         mm, weights, horizon, n_iters=max(2, n_iters), alphas=alphas,
         block_b=block_b, interpret=interpret, lin_stride=lin_stride,
+        forward_mode=forward_mode, stationary_tail=stationary_tail,
     )
     plant = (plant_dyn if plant_dyn is not None
              else fdy.make_kernel_dyn(mm, block_b=block_b, interpret=interpret))
