@@ -130,11 +130,19 @@ def _headline_mpc():
         forward_mode=os.environ.get("BENCH_MPC_FWD", "fused"),
         # stationary-tail Riccati (r4): full matrix recursion only for the
         # TAIL knots nearest the terminal boundary, frozen-gain vector
-        # recursion elsewhere. The backward pass was 57% of the solve;
-        # tail=10 measured 300 -> 167 ms per 4096-scenario solve with
-        # equal-or-better final cost (109.44 vs 109.48); the quality anchor
-        # guards the approximation every run. 0 disables.
-        stationary_tail=(int(os.environ.get("BENCH_MPC_TAIL", 10)) or None),
+        # recursion elsewhere. The backward pass was 57% of the solve.
+        # Sweep on v5e (2026-08-20, honest jittered harness): tail=None
+        # 109.48 cost / 2.97 solves-sync, tail=10 109.44 / 8.9, tail=6
+        # 109.14 / 10.3 (BEST cost — the frozen gains regularize like the
+        # stride-50 Jacobian), tail=4 109.6 / 11.5. Default 6; the quality
+        # anchor guards the approximation every run. 0 disables.
+        stationary_tail=(int(os.environ.get("BENCH_MPC_TAIL", 6)) or None),
+        # line-search grid: each alpha multiplies the LS batch (A*S rows
+        # through the fused rollout kernel). 3 = (1.0, 0.1, 0.01); 2 drops
+        # the smallest alpha and KILLS DESCENT at stiff contact (measured:
+        # cost 114.6 -> 114.6, every candidate rejected) — keep 3.
+        alphas=((1.0, 0.1, 0.01) if int(os.environ.get("BENCH_MPC_ALPHAS", 3)) >= 3
+                else (1.0, 0.1)),
     )
     per_solve_s = 1.0 / r["solves_per_sec"]
     # HEADLINE FIRST — everything after this line is optional garnish

@@ -367,7 +367,7 @@ def quality_anchor(num_scenarios=256, horizon=50, from_pool=4096,
     # catch exactly this config's quality drifting from the optimum
     fast = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=2, block_b=2048,
                                   relin_every=2, lin_stride=50,
-                                  forward_mode="fused", stationary_tail=10)
+                                  forward_mode="fused", stationary_tail=6)
     full = ilqr_fd.make_fd_solver(mm, w, horizon, n_iters=full_iters,
                                   block_b=2048, relin_every=1, lin_stride=1)
     c_fast = float(fast(x0, params, u0).cost.mean())

@@ -40,7 +40,7 @@ def make_receding_controller(mm: mdyn.MpcModel, weights: mcosts.CostWeights,
                              alphas=(1.0, 0.1, 0.01), block_b: int = 1024,
                              interpret: bool = False, lin_stride: int = 0,
                              plant_dyn=None, forward_mode: str = "fused",
-                             stationary_tail=10):
+                             stationary_tail=6):
     """Returns (init, tick):
 
     - init(x0 (S,nx), params) -> RhState: cold-solves the first plan.
