@@ -43,6 +43,11 @@ def evaluate(args):
     from hcr_genesis_lr_cl_tpu.runtime.train import find_checkpoint
 
     cfg, tcfg = registry.get_cfgs(args.task, num_envs=args.num_envs)
+    # reference eval convention (evaluate_violation_cat.py:25): widen the
+    # forward-velocity command range to +-1.0 for the evaluation so the
+    # curriculum can promote at eval speed
+    cfg = cfg.replace(commands=cfg.commands.replace(
+        ranges=cfg.commands.ranges.replace(lin_vel_x=(-1.0, 1.0))))
     env = registry.make_env(args.task, cfg=cfg)
     runner = make_runner(env, tcfg)
     st = runner.init_state(jax.random.PRNGKey(0))
@@ -84,7 +89,11 @@ def evaluate(args):
 
         (env_state, bundle), (vs, lvls) = jax.lax.scan(
             body, (env_state, bundle), None, length=steps)
-        return {k: v.sum() for k, v in vs.items()}, lvls.mean()
+        # terrain level AT THE END of the 10-episode run — the reference
+        # convention (evaluate_violation_cat.py:44 reads terrain_levels at
+        # ep 9's last step, i.e. after the eval-time curriculum has climbed;
+        # the all-step mean would average in the episode-0 warm-up levels)
+        return {k: v.sum() for k, v in vs.items()}, lvls[-1]
 
     vs, lvl = jax.device_get(rollout_eval(st.env_state, st.bundle))
     totals = {k: float(v) for k, v in vs.items()}
