@@ -34,7 +34,7 @@ _T0 = time.time()
 # Total wall-clock budget for OPTIONAL sections (seconds). The headline MPC
 # solve always runs; each secondary section first checks the remaining
 # budget and skips (with a printed reason) if it would overrun.
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2000))
 
 
 def _remaining():
@@ -255,9 +255,14 @@ def main():
     # re-import cheap.
     if r is not None and _guard("flat training throughput", 240):
         _run_section("flat", 240)
+    # the rough section's cache-warm floor is ~370s: 21s host terrain build
+    # + ~5 distinct executables (init/reset/train-block) each paying the
+    # axon tunnel's ~100s server-side first-execution warmup, which the
+    # persistent compile cache cannot amortize (measured 2026-08-20 —
+    # the r4 300s budget could never fit it)
     if (os.environ.get("BENCH_ROUGH", "1") == "1"
-            and _guard("rough training throughput", 300)):
-        _run_section("rough", 300)
+            and _guard("rough training throughput", 480)):
+        _run_section("rough", 480)
     if (os.environ.get("BENCH_SYSID", "1") == "1"
             and _guard("sysid", 150)):
         _run_section("sysid", 150)
