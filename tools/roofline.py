@@ -1,0 +1,270 @@
+"""Roofline the headline MPC solve: PIPELINED per-stage device time vs
+analytic FLOP/byte floors (VERDICT r4 weak #3: the r4 stage profile was
+per-call-sync, so each line carried the ~25-30 ms axon dispatch RTT and the
+profile read as 'flat ~30 ms x 5 stages' — useless for targeting).
+
+Method: each stage is timed as an N_CHAIN-deep async chain where call i+1's
+input is perturbed by a scalar derived from call i's output, so the calls
+serialize ON DEVICE and the tunnel RTT overlaps. One block_until_ready at
+the end. A trivial-op chain measures the per-dispatch pipelined floor to
+subtract. Inputs are jittered per call (the axon runtime result-caches
+bit-identical executions).
+
+Analytic floors per stage (S=4096, T=50, nx=37, nu=12, A=3 alphas, f32):
+- HBM bytes: exact stream sizes incl. the (B,T,d)<->(T,d,B) relayouts the
+  Pallas kernels require;
+- FLOPs: counted from the kernel loop structure (ABA substep ~8 kFLOP/env,
+  rank-1 Riccati loops ~0.5 MFLOP/scenario/matrix-knot).
+v5e peaks used: 819 GB/s HBM; VPU ~7.7 TFLOP/s f32 upper bound (8x128
+lanes x 4 ALUs x 2 FLOP FMA x ~0.94 GHz) — all stages are VPU/lane work,
+no MXU. A stage near its HBM floor is bandwidth-bound; one near the VPU
+floor is compute-bound; far above both = dispatch/issue-overhead-bound.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/roofline.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
+
+N_CHAIN = 16
+HBM_GBPS = 819.0
+VPU_TFLOPS = 7.7
+
+_ROWS = []
+
+
+def chain_time(name, fn, args, inject, n=N_CHAIN, warmup=2,
+               gbytes=None, gflop=None):
+    """Median-of-3 pipelined per-call ms.
+
+    fn(*args) -> out; inject(args, out, i) -> new args (must make call i+1's
+    input depend on call i's output so the chain serializes on device)."""
+    a = args
+    for i in range(warmup):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        a = inject(a, out, i + 1)
+    reps = []
+    for r in range(3):
+        t0 = time.time()
+        for i in range(n):
+            out = fn(*a)
+            a = inject(a, out, 100 * (r + 1) + i)  # host-side arg rebuild
+        jax.block_until_ready(out)
+        reps.append((time.time() - t0) / n)
+    ms = float(np.median(reps)) * 1e3
+    row = {"stage": name, "ms": ms, "gbytes": gbytes, "gflop": gflop}
+    _ROWS.append(row)
+    hbm_ms = (gbytes / HBM_GBPS * 1e3) if gbytes else None
+    vpu_ms = (gflop / VPU_TFLOPS) if gflop else None
+    extra = ""
+    if hbm_ms is not None:
+        extra += f"  hbm-floor {hbm_ms:6.2f} ms ({hbm_ms / ms * 100:4.0f}%)"
+    if vpu_ms is not None:
+        extra += f"  vpu-floor {vpu_ms:6.2f} ms ({vpu_ms / ms * 100:4.0f}%)"
+    print(f"{name:34s} {ms:8.2f} ms{extra}", flush=True)
+    return ms
+
+
+def main(S=4096, T=50, block_b=2048, lin_stride=50, tail=6):
+    env, mm = benchmarks.make_go2_mpc()
+    w = mcosts.CostWeights()
+    nx = mdyn.nx(mm.model)
+    nu = mm.model.nj
+    A = 3
+    uidx = jnp.asarray(mm.model.user_dof_idx)
+    x0, params = benchmarks.sample_scenarios(jax.random.PRNGKey(0), env, mm, S)
+    u0 = jnp.zeros((S, T, nu))
+    MB = 1e-9 * 4  # f32 words -> GB
+
+    # --- dispatch floor: trivial op chained the same way ---
+    f_id = jax.jit(lambda x: x * 1.0000001 + 1e-9)
+    floor = chain_time("pipelined dispatch floor", f_id, (x0,),
+                       lambda a, out, i: (out,))
+
+    from hcr_genesis_lr_cl_tpu.ops import rollout_kernel as rkn
+
+    # --- initial rollout (1x per solve) ---
+    ro = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b))
+    ro_bytes = MB * (S * T * nu * 3          # us in + tl2 relayout r/w
+                     + S * (T + 1) * nx * 3  # xs out + un-relayout r/w
+                     + S * nx)
+    # ABA substep ~8 kFLOP/env (13-body sweeps + 4-foot contact), 4 substeps
+    ro_flop = 1e-9 * (S * T * 4 * 8000)
+    chain_time(f"rollout_fused (S={S})", ro, (x0, u0),
+               lambda a, out, i: (x0 + 1e-9 * out[:, 1, :], u0),
+               gbytes=ro_bytes, gflop=ro_flop)
+    xs = ro(x0, u0)
+
+    # --- FD linearize (1x per solve at relin_every=2, n_iters=2) ---
+    dyn_batch = fdy.make_kernel_dyn(mm, block_b=block_b)
+    P = nx + nu + 1
+
+    @jax.jit
+    def linearize(xk, uk):
+        _, fx, fu = fdy.fd_linearize(dyn_batch, xk, uk)
+        return fx, fu
+
+    xk = xs[:, 0, :]
+    uk = jnp.zeros((S, nu))
+    lin_bytes = MB * (S * P * (nx + nu) * 2 + S * P * nx * 2
+                      + S * nx * (nx + nu))
+    lin_flop = 1e-9 * (S * P * 4 * 8000)
+    chain_time(f"fd_linearize ({S}x{P} rows)", linearize, (xk, uk),
+               lambda a, out, i: (xk + 1e-9 * out[0][:, :, 0], uk),
+               gbytes=lin_bytes, gflop=lin_flop)
+    fx1, fu1 = linearize(xk, uk)
+    fx_c = fx1[:, None]
+    fu_c = fu1[:, None][..., uidx]
+
+    # --- quadratize, hess_tail=6 (2x per solve) ---
+    def stage_cost(p, x, u, up, t):
+        return mcosts.stage_cost(mm, w, p, x, u, up, t)
+
+    def term_cost(p, x):
+        return mcosts.terminal_cost(mm, w, p, x)
+
+    hess_tail = tail
+
+    @jax.jit
+    def quadratize(params, xs, us):
+        up = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        ts = jnp.arange(T)
+
+        def gknot(p, x, u, upr, t):
+            lx = jax.grad(stage_cost, argnums=1)(p, x, u, upr, t)
+            lu = jax.grad(stage_cost, argnums=2)(p, x, u, upr, t)
+            return lx, lu
+
+        def hknot(p, x, u, upr, t):
+            lxx = jax.hessian(stage_cost, argnums=1)(p, x, u, upr, t)
+            luu = jax.hessian(stage_cost, argnums=2)(p, x, u, upr, t)
+            lux = jax.jacfwd(jax.grad(stage_cost, argnums=2), argnums=1)(
+                p, x, u, upr, t)
+            return lxx, luu, lux
+
+        over = lambda f, xr, ur, upr, tr: jax.vmap(
+            lambda p, xr, ur, upr: jax.vmap(f, in_axes=(None, 0, 0, 0, 0))(
+                p, xr, ur, upr, tr))(params, xr, ur, upr)
+        lx, lu = over(gknot, xs[:, :-1], us, up, ts)
+        h0 = T - hess_tail
+        lxx, luu, lux = over(hknot, xs[:, h0:-1], us[:, h0:], up[:, h0:],
+                             ts[h0:])
+        vxT = jax.vmap(jax.grad(term_cost, argnums=1))(params, xs[:, -1])
+        vxxT = jax.vmap(jax.hessian(term_cost, argnums=1))(params, xs[:, -1])
+        return lx, lu, lxx, luu, lux, vxT, vxxT
+
+    J = tail
+    quad_bytes = MB * (S * (T + 1) * nx + S * T * nu
+                       + S * T * (nx + nu)
+                       + S * J * (nx * nx + nu * nu + nu * nx)
+                       + S * nx * (nx + 1))
+    chain_time(f"quadratize (grads T={T}, hess J={J})", quadratize,
+               (params, xs, u0),
+               lambda a, out, i: (params, xs + 1e-9 * out[0][:, :1].sum(-1)[..., None], u0),
+               gbytes=quad_bytes)
+    lx, lu, lxx, luu, lux, vxT, vxxT = quadratize(params, xs, u0)
+
+    # --- backward, lanes kernel, stationary tail (2x per solve) ---
+    from hcr_genesis_lr_cl_tpu.ops.riccati_kernel import make_lane_backward
+
+    bw = jax.jit(make_lane_backward(nx, nu, T, reg=0.5, jac_stride=lin_stride,
+                                    stationary_tail=tail,
+                                    hess_tail_only=True))
+    bw_args = (fx_c, fu_c, lx, lu, lxx, luu, lux, vxT, vxxT)
+    bw_bytes = MB * (S * (nx * nx + nx * nu) * 2        # fx/fu + relayout
+                     + S * T * (nx + nu) * 2
+                     + S * J * (nx * nx + nu * nu + nu * nx) * 2
+                     + S * nx * (nx + 1)
+                     + S * T * nu * 2                   # ks out
+                     + S * T * nu * nx * 3)             # Ks out + relayout
+    # matrix knot ~6 rank-1 sweeps of nx^3-ish; vector knot ~2*nx^2 + nu^2
+    bw_flop = 1e-9 * S * (J * (6 * nx * nx * nx + 3 * nu * nx * nx) * 2
+                          + (T - J) * (2 * nx * nx + 3 * nu * nx) * 2)
+    chain_time(f"backward lanes (tail={tail})", bw, bw_args,
+               lambda a, out, i: (fx_c, fu_c,
+                                  lx + 1e-9 * out[0][:, :, :1] * 0.0 +
+                                  1e-9 * (i + 1), lu, lxx, luu, lux, vxT,
+                                  vxxT),
+               gbytes=bw_bytes, gflop=bw_flop)
+    ks, Ks = bw(*bw_args)
+
+    # --- line-search rollout, A*S rows (2x per solve) ---
+    ls = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b, ls=True))
+    alphas = jnp.asarray([1.0, 0.1, 0.01])
+    rep = lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1))
+    al = jnp.repeat(alphas, S)
+    ls_args = (rep(x0), rep(xs), rep(u0), rep(ks), rep(Ks), al)
+    B = A * S
+    ls_bytes = MB * (B * nx
+                     + B * T * nx * 3      # xs_bar + relayout
+                     + B * T * nu * 3 * 2  # us_bar, ks + relayouts
+                     + B * T * nu * nx * 3  # Ks stream + relayout (LARGEST)
+                     + B * (T + 1) * nx * 3 + B * T * nu * 3)  # outs
+    ls_flop = 1e-9 * (B * T * (4 * 8000 + 2 * nu * nx))
+    chain_time(f"forward_ls_fused (B={B})", ls, ls_args,
+               lambda a, out, i: (a[0] + 1e-9 * out[0][:, 1, :],) + a[1:],
+               gbytes=ls_bytes, gflop=ls_flop)
+    xs_n, us_n = ls(*ls_args)
+
+    # --- cost eval + best-alpha select (2x per solve) ---
+    @jax.jit
+    def cost_sel(xs_n, us_n):
+        pb = jax.tree.map(rep, params)
+        up = jnp.concatenate([us_n[:, :1], us_n[:, :-1]], axis=1)
+        ts = jnp.arange(T)
+        stage = jax.vmap(
+            lambda p, xr, ur, upr: jax.vmap(
+                stage_cost, in_axes=(None, 0, 0, 0, 0))(p, xr, ur, upr, ts)
+        )(pb, xs_n[:, :-1], us_n, up)
+        costs = stage.sum(axis=1) + jax.vmap(term_cost)(pb, xs_n[:, -1])
+        costs = jnp.where(jnp.isfinite(costs), costs, 1e30).reshape(A, S)
+        best = jnp.argmin(costs, axis=0)
+        onehot = jax.nn.one_hot(best, A, axis=0, dtype=xs_n.dtype)
+        sel = lambda z: jnp.einsum("as,as...->s...", onehot,
+                                   z.reshape((A, S) + z.shape[1:]))
+        return sel(xs_n), sel(us_n)
+
+    cs_bytes = MB * (B * (T + 1) * nx + B * T * nu
+                     + S * ((T + 1) * nx + T * nu))
+    chain_time(f"cost+select (B={B})", cost_sel, (xs_n, us_n),
+               lambda a, out, i: (xs_n + 1e-9 * out[0][:, :1, :1], us_n),
+               gbytes=cs_bytes)
+
+    # --- the composed solve, pipelined, as the ground truth ---
+    from hcr_genesis_lr_cl_tpu.mpc import ilqr_fd
+
+    solve = ilqr_fd.make_fd_solver(
+        mm, w, T, n_iters=2, block_b=block_b, relin_every=2,
+        lin_stride=lin_stride, forward_mode="fused", stationary_tail=tail)
+    chain_time(f"FULL solve (2 iters, tail={tail})", solve, (x0, params, u0),
+               lambda a, out, i: (x0 + 1e-9 * out.xs[:, 0, :], params, u0),
+               n=8)
+
+    # --- budget reconciliation ---
+    by = {r["stage"].split(" ")[0]: r["ms"] for r in _ROWS}
+    full = by.get("FULL", 0.0)
+    acc = (by.get("rollout_fused", 0) + by.get("fd_linearize", 0)
+           + 2 * by.get("quadratize", 0) + 2 * by.get("backward", 0)
+           + 2 * by.get("forward_ls_fused", 0) + 2 * by.get("cost+select", 0))
+    print(f"\nstage sum (1x ro + 1x lin + 2x rest): {acc:.1f} ms "
+          f"vs composed solve {full:.1f} ms "
+          f"(gap = XLA glue/relayouts/scan overhead)", flush=True)
+    print(f"pipelined dispatch floor was {floor:.2f} ms/call", flush=True)
+    return _ROWS
+
+
+if __name__ == "__main__":
+    main()
