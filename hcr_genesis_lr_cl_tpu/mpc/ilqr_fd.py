@@ -39,7 +39,8 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                    dyn_override=None, relin_every: int = 1,
                    lin_chunks: int = 1, lin_stride: int = 1,
                    backward_matmul_dtype=None, backward_mode: str = "lanes",
-                   forward_mode: str = "scan", stationary_tail=None):
+                   forward_mode: str = "scan", stationary_tail=None,
+                   compact_k=None):
     """backward_mode: "lanes" (default) runs the backward pass in the Pallas
     lane-major kernel (ops/riccati_kernel.py, ~4.7x the packed recursion at
     S=1024 on v5e, and skips the Jacobian jnp.repeat when lin_stride > 1);
@@ -102,6 +103,14 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
     def term_cost(p, x):
         return mcosts.terminal_cost(mm, weights, p, x)
 
+    # compact-K: with the stationary tail, K has only J+1 distinct knot
+    # values — the backward kernel emits them compactly and the fused LS
+    # kernel replays row 0 by index map, cutting the solve's largest HBM
+    # stream (Ks write + A-fold tile + LS read) T/(J+1)-fold. Identical
+    # math (tests/test_ilqr_fd.py pins fused+tail vs compact bitwise).
+    use_compact_k = (forward_mode == "fused" and backward_mode == "lanes"
+                     and stationary_tail and int(stationary_tail) < T
+                     ) if compact_k is None else bool(compact_k)
     if forward_mode == "fused":
         if dyn_override is not None:
             raise ValueError("forward_mode='fused' rolls out the kernel "
@@ -110,8 +119,9 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
 
         rollout = rkn.make_horizon_rollout(mm, T, block_b=block_b,
                                            interpret=interpret)
-        _ls_rollout = rkn.make_horizon_rollout(mm, T, block_b=block_b,
-                                               ls=True, interpret=interpret)
+        _ls_rollout = rkn.make_horizon_rollout(
+            mm, T, block_b=block_b, ls=True, interpret=interpret,
+            k_knots=(int(stationary_tail) + 1) if use_compact_k else None)
     else:
         def rollout(x0, us):
             """x0 (B, nx), us (B, T, nu) -> xs (B, T+1, nx)."""
@@ -180,7 +190,12 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
             nx, nu, T, reg=reg, interpret=interpret, jac_stride=lin_stride,
             stationary_tail=stationary_tail,
             hess_tail_only=stationary_tail is not None
-            and int(stationary_tail) < T)
+            and int(stationary_tail) < T,
+            compact_k=use_compact_k,
+            # folded tail: all T-J vector knots in ONE grid step (the
+            # backward pass paid ~12 ms of per-grid-step pipeline overhead
+            # at S=4096 for ~300 small VPU ops per vector knot)
+            fold_tail=use_compact_k and lin_stride >= T)
 
         def backward(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
             """fx/fu compact (S, Ts, ...); rest (S, T, ...) -> gains."""

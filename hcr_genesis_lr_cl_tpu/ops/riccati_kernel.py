@@ -228,10 +228,192 @@ def _kernel(nx, nu, reg, J,
             vx_s[:] = vx_n
 
 
+def _kernel_folded(nx, nu, reg, J, TH,
+                   fx_ref, fu_ref, lx_ref, lu_ref, lxh_ref, luh_ref,
+                   lxx_ref, luu_ref, lux_ref, vxT_ref, vxxT_ref,
+                   ks_ref, ksh_ref, Ks_ref, vx_s, vxx_s,
+                   L_s, Km_s, quu_s, qux_s):
+    """Folded-tail variant: grid (S/sb, J+1). Steps t < J are the matrix
+    knots (identical math to _kernel); step t == J runs ALL TH = T-J vector
+    knots in one in-kernel fori_loop. The per-knot vector recursion is ~300
+    small VPU ops — as separate grid steps (grid (S/sb, T)) each paid the
+    block pipeline's fixed bookkeeping, which dominated the backward stage
+    (measured 14.8 ms at S=4096, T=50, J=6 vs a 2.5 ms VPU floor). Requires
+    a single shared Jacobian (jac_stride >= T) and compact-K output."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        vx_s[:] = vxT_ref[:]
+        vxx_s[:] = vxxT_ref[:]
+
+    A = fx_ref[0]
+    B = fu_ref[0]
+
+    @pl.when(t < J)
+    def _matrix_knot():
+        # delegate to the shared matrix-knot math by inlining _kernel's
+        # body via the same refs/order (lx/lu streams carry the J tail rows)
+        _matrix_knot_body(nx, nu, reg, J, True, t, A, B,
+                          lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+                          ks_ref, Ks_ref, vx_s, vxx_s,
+                          L_s, Km_s, quu_s, qux_s)
+
+    @pl.when(t == J)
+    def _vector_tail():
+        import jax as _jax
+
+        def body(i, vx):
+            tt = TH - 1 - i  # knot index within the head block
+            lx_t = lxh_ref[tt]  # (nx, sb)
+            lu_t = luh_ref[tt]  # (nu, sb)
+            qx, qu = lx_t, lu_t
+            for a in range(nx):
+                qx = qx + A[a] * vx[a]
+                qu = qu + B[a] * vx[a]
+            y = [None] * nu
+            for ii in range(nu):
+                s = qu[ii]
+                for k in range(ii):
+                    s = s - L_s[ii, k, :] * y[k]
+                y[ii] = s / L_s[ii, ii, :]
+            kv = [None] * nu
+            for ii in reversed(range(nu)):
+                s = y[ii]
+                for k in range(ii + 1, nu):
+                    s = s + L_s[k, ii, :] * kv[k]
+                kv[ii] = -(s / L_s[ii, ii, :])
+            ksh_ref[tt] = jnp.stack(kv)
+            vecx, vecu = qx, qu
+            for p in range(nu):
+                vecx = vecx + qux_s[p, :, :] * kv[p]
+                vecu = vecu + quu_s[p, :, :] * kv[p]
+            vx_n = vecx
+            for p in range(nu):
+                vx_n = vx_n + Km_s[p, :, :] * vecu[p]
+            return vx_n
+
+        _jax.lax.fori_loop(0, TH, body, vx_s[:])
+        for p in range(nu):
+            Ks_ref[0, p, :, :] = Km_s[p, :, :]
+
+
+def _matrix_knot_body(nx, nu, reg, J, freeze, t, A, B,
+                      lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+                      ks_ref, Ks_ref, vx_s, vxx_s, L_s, Km_s, quu_s, qux_s):
+    """The matrix-knot math of _kernel, factored so the folded variant
+    shares it verbatim (same op order -> bitwise-equal gains)."""
+    lx = lx_ref[0]
+    lu = lu_ref[0]
+    vx = vx_s[:]
+    lxx = lxx_ref[0]
+    luu = luu_ref[0]
+    lux = lux_ref[0]
+    vxx = vxx_s[:]
+
+    WA = jnp.zeros_like(A)
+    WB = jnp.zeros_like(B)
+    for b in range(nx):
+        vb = vxx[b]
+        WA = WA + vb[:, None, :] * A[b][None, :, :]
+        WB = WB + vb[:, None, :] * B[b][None, :, :]
+
+    qxx, qux, quu = lxx, lux, luu
+    qxxT = lxx
+    pux = jnp.zeros_like(lux)
+    puu = jnp.zeros_like(luu)
+    qx, qu = lx, lu
+    for a in range(nx):
+        Aa, Ba, Wa = A[a], B[a], WA[a]
+        qxx = qxx + Aa[:, None, :] * Wa[None, :, :]
+        qxxT = qxxT + Wa[:, None, :] * Aa[None, :, :]
+        qux = qux + Ba[:, None, :] * Wa[None, :, :]
+        quu = quu + Ba[:, None, :] * WB[a][None, :, :]
+        pux = pux + Ba[:, None, :] * Aa[None, :, :]
+        puu = puu + Ba[:, None, :] * Ba[None, :, :]
+        qx = qx + Aa * vx[a]
+        qu = qu + Ba * vx[a]
+
+    eye_u = jnp.eye(nu, dtype=jnp.float32)[:, :, None]
+    quu_r = quu + reg * (puu + eye_u)
+    qux_r = qux + reg * pux
+
+    L = [[None] * nu for _ in range(nu)]
+    for j in range(nu):
+        s = quu_r[j, j, :]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, nu):
+            s = quu_r[i, j, :]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    y = [None] * nu
+    for i in range(nu):
+        s = qu[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    kv = [None] * nu
+    for i in reversed(range(nu)):
+        s = y[i]
+        for k in range(i + 1, nu):
+            s = s + L[k][i] * kv[k]
+        kv[i] = -(s / L[i][i])
+    Y = [None] * nu
+    for i in range(nu):
+        s = qux_r[i]
+        for k in range(i):
+            s = s - L[i][k][None, :] * Y[k]
+        Y[i] = s / L[i][i][None, :]
+    Km = [None] * nu
+    for i in reversed(range(nu)):
+        s = Y[i]
+        for k in range(i + 1, nu):
+            s = s + L[k][i][None, :] * Km[k]
+        Km[i] = -(s / L[i][i][None, :])
+
+    for p in range(nu):
+        ks_ref[0, p, :] = kv[p]
+        Ks_ref[0, p, :, :] = Km[p]
+
+    if freeze:
+        @pl.when(t == J - 1)
+        def _freeze():
+            for j in range(nu):
+                for i in range(j, nu):
+                    L_s[i, j, :] = L[i][j]
+            for p in range(nu):
+                Km_s[p, :, :] = Km[p]
+                quu_s[p, :, :] = quu[p]
+                qux_s[p, :, :] = qux[p]
+
+    zx, zxT, vecx = qxx, qxxT, qx
+    zu, vecu = qux, qu
+    for p in range(nu):
+        zx = zx + qux[p][:, None, :] * Km[p][None, :, :]
+        zxT = zxT + Km[p][:, None, :] * qux[p][None, :, :]
+        zu = zu + quu[p][:, None, :] * Km[p][None, :, :]
+        vecx = vecx + qux[p] * kv[p]
+        vecu = vecu + quu[p] * kv[p]
+    vxx_n, vxx_nT, vx_n = zx, zxT, vecx
+    for p in range(nu):
+        vxx_n = vxx_n + Km[p][:, None, :] * zu[p][None, :, :]
+        vxx_nT = vxx_nT + zu[p][:, None, :] * Km[p][None, :, :]
+        vx_n = vx_n + Km[p] * vecu[p]
+
+    vx_s[:] = vx_n
+    vxx_s[:] = 0.5 * (vxx_n + vxx_nT)
+
+
 def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
                        s_block: int = 128, interpret: bool = False,
                        jac_stride: int = 1, stationary_tail=None,
-                       hess_tail_only: bool = False):
+                       hess_tail_only: bool = False,
+                       compact_k: bool = False,
+                       fold_tail: bool = False):
     """Returns bw(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT) -> (ks, Ks) with
     the standard scenario-major layouts of mpc/riccati.lqr_backward:
     fx (S,T,nx,nx) out-major Jacobians, fu (S,T,nx,nu), lx (S,T,nx),
@@ -255,10 +437,28 @@ def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
     hess_tail_only=True (requires stationary_tail): the lxx/luu/lux inputs
     carry ONLY the J tail knots — (S, J, ...) with row j = knot T-J+j. The
     vector knots never read cost Hessians, so the caller can skip computing
-    them (quadratize was the solve's #2 stage)."""
+    them (quadratize was the solve's #2 stage).
+
+    compact_k=True (requires stationary_tail): Ks is returned COMPACT,
+    (S, J+1, nu, nx) with row 0 = the frozen gain shared by all knots
+    t < T-J and row 1+j = knot T-J+j. With the tail configured, K takes only
+    J+1 distinct values, so streaming the full (S, T, nu, nx) tensor out of
+    this kernel and back into the line-search rollout was ~7x redundant HBM
+    traffic on the solve's largest array (roofline 2026-08-20: the LS
+    rollout's 27%-of-time HBM floor was dominated by the K stream). The
+    line-search kernel (ops/rollout_kernel.make_horizon_rollout with
+    k_knots=J+1) replays row 0 via its index map — identical math."""
     J = int(stationary_tail) if stationary_tail is not None else 1_000_000
     if J >= T:
         J = 1_000_000  # tail empty: compile the exact single-branch kernel
+    if compact_k:
+        assert J < 1_000_000, "compact_k requires stationary_tail < T"
+    if fold_tail:
+        assert compact_k and J < 1_000_000, "fold_tail requires compact_k"
+        assert jac_stride >= T, ("fold_tail assumes ONE shared Jacobian "
+                                 "(the bench lin_stride=T config)")
+        assert hess_tail_only, "fold_tail streams tail-only Hessians"
+        return _make_folded(nx, nu, T, J, reg, s_block, interpret)
     kern = functools.partial(_kernel, nx, nu, reg, J)
     Ts = (T + jac_stride - 1) // jac_stride
 
@@ -288,9 +488,18 @@ def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
             # block — clamp to row 0 (a repeated, ignored DMA)
             revh = lambda s, t: (jnp.maximum(J - 1 - t, 0), 0, 0, s)
 
+        TK = (J + 1) if compact_k else T
+        if compact_k:
+            # grid step t handles knot T-1-t: matrix knots (t < J) land in
+            # rows J-t (= knot index T-J..T-1 -> rows 1..J); every vector
+            # knot (t >= J) writes the frozen gain into row 0 — consecutive
+            # same-index steps keep the block VMEM-resident, one flush
+            rev_k = lambda s, t: (jnp.where(t < J, J - t, 0), 0, 0, s)
+        else:
+            rev_k = rev4
         out_shape = [
             jax.ShapeDtypeStruct((T, nu, Sp), jnp.float32),
-            jax.ShapeDtypeStruct((T, nu, nx, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((TK, nu, nx, Sp), jnp.float32),
         ]
         ks, Ks = pl.pallas_call(
             kern,
@@ -310,7 +519,7 @@ def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
             ],
             out_specs=[
                 pl.BlockSpec((1, nu, sb), rev3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nu, nx, sb), rev4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nx, sb), rev_k, memory_space=pltpu.VMEM),
             ],
             out_shape=out_shape,
             scratch_shapes=[
@@ -328,5 +537,92 @@ def make_lane_backward(nx: int, nu: int, T: int, reg: float = 0.5,
           jnp.moveaxis(vxT, 0, -1), jnp.moveaxis(vxxT, 0, -1))
 
         return jnp.moveaxis(ks, -1, 0)[:S], jnp.moveaxis(Ks, -1, 0)[:S]
+
+    return call
+
+
+def _make_folded(nx, nu, T, J, reg, s_block, interpret):
+    """Builder for the folded-tail kernel: grid (S/sb, J+1), compact-K out,
+    ks returned full-T (head block written inside the folded step)."""
+    TH = T - J
+    kern = functools.partial(_kernel_folded, nx, nu, reg, J, TH)
+
+    def call(fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT):
+        assert fx.shape[1] == 1 and fu.shape[1] == 1, (fx.shape,)
+        assert lxx.shape[1] == J, (lxx.shape, J)
+        S = lx.shape[0]
+        pad = (-S) % s_block
+        if pad:
+            padfn = lambda z: jnp.concatenate(
+                [z, jnp.tile(z[-1:], (pad,) + (1,) * (z.ndim - 1))], axis=0)
+            fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT = map(
+                padfn, (fx, fu, lx, lu, lxx, luu, lux, vxT, vxxT))
+        Sp = S + pad
+        nsb = Sp // s_block
+        sb = s_block
+
+        tm = lambda z: jnp.moveaxis(z, 0, -1)
+        const4 = lambda s, t: (0, 0, 0, s)
+        # tail streams: step t < J reads tail row J-1-t (knot T-1-t);
+        # clamped at the folded step (same index as t = J-1 -> cached)
+        tail3 = lambda s, t: (jnp.maximum(J - 1 - t, 0), 0, s)
+        tail4 = lambda s, t: (jnp.maximum(J - 1 - t, 0), 0, 0, s)
+        head3 = lambda s, t: (0, 0, 0, s)[1:]  # (0, 0, s)
+
+        out_shape = [
+            jax.ShapeDtypeStruct((J, nu, Sp), jnp.float32),   # ks tail
+            jax.ShapeDtypeStruct((TH, nu, Sp), jnp.float32),  # ks head
+            jax.ShapeDtypeStruct((J + 1, nu, nx, Sp), jnp.float32),
+        ]
+        ks_t, ks_h, Ks = pl.pallas_call(
+            kern,
+            grid=(nsb, J + 1),
+            in_specs=[
+                pl.BlockSpec((1, nx, nx, sb), const4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nx, nu, sb), const4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nx, sb), tail3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, sb), tail3, memory_space=pltpu.VMEM),
+                # whole head gradient blocks, resident across the pass
+                pl.BlockSpec((TH, nx, sb), lambda s, t: (0, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TH, nu, sb), lambda s, t: (0, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nx, nx, sb), tail4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nu, sb), tail4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nx, sb), tail4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nx, sb), lambda s, t: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nx, nx, sb), lambda s, t: (0, 0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nu, sb),
+                             lambda s, t: (jnp.maximum(J - 1 - t, 0), 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TH, nu, sb), lambda s, t: (0, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nu, nx, sb),
+                             lambda s, t: (jnp.where(t < J, J - t, 0), 0, 0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((nx, sb), jnp.float32),
+                pltpu.VMEM((nx, nx, sb), jnp.float32),
+                pltpu.VMEM((nu, nu, sb), jnp.float32),
+                pltpu.VMEM((nu, nx, sb), jnp.float32),
+                pltpu.VMEM((nu, nu, sb), jnp.float32),
+                pltpu.VMEM((nu, nx, sb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(tm(fx), tm(fu),
+          tm(lx[:, T - J:]), tm(lu[:, T - J:]),
+          tm(lx[:, :T - J]), tm(lu[:, :T - J]),
+          tm(lxx), tm(luu), tm(lux),
+          jnp.moveaxis(vxT, 0, -1), jnp.moveaxis(vxxT, 0, -1))
+
+        ks = jnp.concatenate(
+            [jnp.moveaxis(ks_h, -1, 0), jnp.moveaxis(ks_t, -1, 0)], axis=1)
+        return ks[:S], jnp.moveaxis(Ks, -1, 0)[:S]
 
     return call

@@ -121,13 +121,20 @@ def _kernel(C, ls, uidx, u_lo, u_hi, friction, *refs):
 
 
 def make_horizon_rollout(mm: mdyn.MpcModel, horizon: int, block_b: int = 512,
-                         ls: bool = False, interpret: bool = False):
+                         ls: bool = False, interpret: bool = False,
+                         k_knots: int | None = None):
     """Open-loop: f(x0 (B,nx), us (B,T,nu_user)) -> xs (B,T+1,nx).
 
     Line-search (ls=True): f(x0 (B,nx), xs_bar (B,T+1,nx), us_bar (B,T,nu),
     ks (B,T,nu), Ks (B,T,nu,nx), alpha (B,)) -> (xs (B,T+1,nx), us (B,T,nu))
     with u_t = clip(us_bar_t + alpha*(k_t + K_t (x_t - xs_bar_t)), u_lo, u_hi)
     — the exact control law of ilqr_fd.forward_all.
+
+    k_knots=J+1 (ls only): Ks is COMPACT, (B, J+1, nu, nx) — row 0 is the
+    frozen stationary-tail gain used for every step t < T-J, row 1+j is knot
+    T-J+j (the layout riccati_kernel.make_lane_backward(compact_k=True)
+    emits). The index map replays row 0 for the first T-J steps, so the
+    solve's largest HBM stream shrinks T/(J+1)-fold with identical math.
 
     B must not be tiny: it is padded here to a multiple of block_b.
     """
@@ -161,9 +168,17 @@ def make_horizon_rollout(mm: mdyn.MpcModel, horizon: int, block_b: int = 512,
                                      memory_space=pltpu.VMEM)
         stream = lambda d: pl.BlockSpec((1, d, bb), lambda i, t: (t, 0, i),
                                         memory_space=pltpu.VMEM)
+        if k_knots is not None:
+            Jk = T - (k_knots - 1)  # first tail knot
+            k_stream = pl.BlockSpec(
+                (1, nj * nx, bb),
+                lambda i, t: (jnp.where(t < Jk, 0, t - Jk + 1), 0, i),
+                memory_space=pltpu.VMEM)
+        else:
+            k_stream = stream(nj * nx)
         if ls:
             in_specs = [rep(nx), stream(nx), stream(nj), stream(nj),
-                        stream(nj * nx), rep(1)]
+                        k_stream, rep(1)]
             out_specs = [stream(nx), stream(nj)]
             out_shape = [jax.ShapeDtypeStruct((T, nx, B), jnp.float32),
                          jax.ShapeDtypeStruct((T, nj, B), jnp.float32)]
@@ -194,11 +209,12 @@ def make_horizon_rollout(mm: mdyn.MpcModel, horizon: int, block_b: int = 512,
     if ls:
         def rollout(x0, xs_bar, us_bar, ks, Ks, alpha):
             B0 = x0.shape[0]
+            TK = T if k_knots is None else k_knots
             x0p = _pad(x0, B0)
             xbar = tl2(_pad(xs_bar[:, :-1], B0))
             ubar = tl2(_pad(us_bar, B0))
             kk = tl2(_pad(ks, B0))
-            KK = tl2(_pad(Ks.reshape(B0, T, nj * nx), B0))
+            KK = tl2(_pad(Ks.reshape(B0, TK, nj * nx), B0))
             al = _pad(alpha[:, None], B0).T
             xs_l, us_l = call_lanes(x0p.T, xbar, ubar, kk, KK, al)
             xs = jnp.transpose(xs_l, (2, 0, 1))[:B0]

@@ -212,3 +212,27 @@ class TestQualityAnchor:
             assert np.isfinite(tr).all()
             assert (np.diff(tr, axis=1) <= 1e-5).all()
             assert (tr[:, -1] < tr[:, 0]).any()  # actually descends
+
+
+class TestCompactK:
+    def test_fused_tail_solver_compact_k_bitwise(self):
+        """The fused+stationary-tail solver with compact-K streaming (the
+        bench default) is BITWISE identical to the same solver with the
+        full-T K tensor: the compact layout is pure traffic compression
+        (riccati_kernel compact_k + rollout_kernel k_knots index replay)."""
+        env, mm = mb.make_go2_mpc(substeps=2)
+        kw = dict(horizon=6, n_iters=2, block_b=512, interpret=True,
+                  lin_stride=6, relin_every=2, forward_mode="fused",
+                  stationary_tail=3)
+        full = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(),
+                                      compact_k=False, **kw)
+        comp = ilqr_fd.make_fd_solver(mm, mcosts.CostWeights(),
+                                      compact_k=True, **kw)
+        x0, params = mb.sample_scenarios(jax.random.PRNGKey(1), env, mm, 2)
+        u0 = jnp.zeros((2, 6, 12))
+        rf = full(x0, params, u0)
+        rc = comp(x0, params, u0)
+        np.testing.assert_array_equal(np.asarray(rc.xs), np.asarray(rf.xs))
+        np.testing.assert_array_equal(np.asarray(rc.us), np.asarray(rf.us))
+        np.testing.assert_array_equal(np.asarray(rc.cost_trace),
+                                      np.asarray(rf.cost_trace))

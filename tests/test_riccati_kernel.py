@@ -149,3 +149,26 @@ def test_hess_tail_only_matches_full_hessian_inputs():
                        lux[:, T - J:], vxT, vxxT)
     np.testing.assert_array_equal(np.asarray(k_c), np.asarray(k_f))
     np.testing.assert_array_equal(np.asarray(K_c), np.asarray(K_f))
+
+
+def test_compact_k_layout_matches_full():
+    """compact_k=True returns Ks as (S, J+1, nu, nx): row 0 == the frozen
+    gain every vector knot carries, rows 1..J == the matrix-knot gains —
+    bitwise equal to the corresponding rows of the full-T output."""
+    S, T, nx, nu, J = 3, 12, 9, 4, 5
+    args = _problem(S, T, nx, nu, jax.random.PRNGKey(5))
+    tail = make_lane_backward(nx, nu, T, reg=0.4, s_block=8, interpret=True,
+                              stationary_tail=J)
+    comp = make_lane_backward(nx, nu, T, reg=0.4, s_block=8, interpret=True,
+                              stationary_tail=J, compact_k=True)
+    k_f, K_f = tail(*args)
+    k_c, K_c = comp(*args)
+    assert K_c.shape == (S, J + 1, nu, nx)
+    np.testing.assert_array_equal(np.asarray(k_c), np.asarray(k_f))
+    # row 0 = frozen gain (all pre-tail knots share it)
+    for t in range(T - J):
+        np.testing.assert_array_equal(np.asarray(K_c[:, 0]),
+                                      np.asarray(K_f[:, t]))
+    # rows 1..J = the tail knots
+    np.testing.assert_array_equal(np.asarray(K_c[:, 1:]),
+                                  np.asarray(K_f[:, T - J:]))

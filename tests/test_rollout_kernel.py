@@ -105,3 +105,38 @@ class TestHorizonRollout:
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_ls_rollout_compact_k_matches_full():
+    """The LS kernel with k_knots=J+1 fed the compact Ks reproduces the
+    full-T kernel's trajectories bitwise (the index map replays row 0 for
+    every pre-tail step)."""
+    import numpy as np
+
+    from hcr_genesis_lr_cl_tpu.mpc import benchmarks as mb
+    from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+
+    env, mm = mb.make_go2_mpc(substeps=2)
+    T, J, B = 10, 4, 4
+    nx = mdyn.nx(mm.model)
+    nu = mm.model.nj
+    rng = np.random.default_rng(0)
+    x0, _ = mb.sample_scenarios(jax.random.PRNGKey(0), env, mm, B)
+    xs_bar = jnp.asarray(np.asarray(jnp.tile(x0[:, None], (1, T + 1, 1)))
+                         + 0.002 * rng.standard_normal((B, T + 1, nx)))
+    us_bar = jnp.asarray(0.1 * rng.standard_normal((B, T, nu)), jnp.float32)
+    ks = jnp.asarray(0.05 * rng.standard_normal((B, T, nu)), jnp.float32)
+    # full-T gains with only J+1 distinct values, as the tail produces
+    K_dist = jnp.asarray(0.02 * rng.standard_normal((B, J + 1, nu, nx)),
+                         jnp.float32)
+    idx_full = jnp.concatenate(
+        [jnp.zeros(T - J, jnp.int32), 1 + jnp.arange(J, dtype=jnp.int32)])
+    Ks_full = K_dist[:, idx_full]
+    alpha = jnp.asarray([1.0, 0.5, 0.1, 0.01])
+    full = rk.make_horizon_rollout(mm, T, block_b=4, ls=True, interpret=True)
+    comp = rk.make_horizon_rollout(mm, T, block_b=4, ls=True, interpret=True,
+                                    k_knots=J + 1)
+    xs_f, us_f = full(x0, xs_bar, us_bar, ks, Ks_full, alpha)
+    xs_c, us_c = comp(x0, xs_bar, us_bar, ks, K_dist, alpha)
+    np.testing.assert_array_equal(np.asarray(xs_c), np.asarray(xs_f))
+    np.testing.assert_array_equal(np.asarray(us_c), np.asarray(us_f))

@@ -1,0 +1,103 @@
+"""Experiment: compact-K streaming win on the headline solve (S=4096).
+
+Times (pipelined async chains, idle host — a concurrent CPU load breaks the
+dispatch pipelining and inflates every number ~4x, measured 2026-08-21):
+  1. LS rollout stage alone: full-T Ks vs compact (J+1) Ks
+  2. backward stage alone: full-T Ks out vs compact out
+  3. FULL solve: compact_k False vs True (same seeds; cost printed — must
+     be bitwise-equal per tests/test_ilqr_fd.py::TestCompactK)
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_compact.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks, ilqr_fd
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
+
+N = 16
+
+
+def chain_time(name, fn, args, inject, n=N, warmup=2):
+    a = args
+    for i in range(warmup):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        a = inject(a, out, i + 1)
+    reps = []
+    for r in range(3):
+        t0 = time.time()
+        for i in range(n):
+            out = fn(*a)
+            a = inject(a, out, 100 * (r + 1) + i)
+        jax.block_until_ready(out)
+        reps.append((time.time() - t0) / n)
+    ms = float(np.median(reps)) * 1e3
+    print(f"{name:44s} {ms:8.2f} ms", flush=True)
+    return ms
+
+
+def main(S=4096, T=50, block_b=2048, tail=6):
+    env, mm = benchmarks.make_go2_mpc()
+    w = mcosts.CostWeights()
+    nx = mdyn.nx(mm.model)
+    nu = mm.model.nj
+    A, J = 3, tail
+    x0, params = benchmarks.sample_scenarios(jax.random.PRNGKey(0), env, mm, S)
+    u0 = jnp.zeros((S, T, nu))
+    rng = np.random.default_rng(0)
+
+    from hcr_genesis_lr_cl_tpu.ops import rollout_kernel as rkn
+
+    xs = jnp.asarray(np.asarray(jnp.tile(x0[:, None], (1, T + 1, 1)))
+                     + 0.002 * rng.standard_normal((S, T + 1, nx)).astype(np.float32))
+    ks = jnp.asarray(0.02 * rng.standard_normal((S, T, nu)).astype(np.float32))
+    K_c = jnp.asarray(0.01 * rng.standard_normal((S, J + 1, nu, nx)).astype(np.float32))
+    idx = jnp.concatenate([jnp.zeros(T - J, jnp.int32),
+                           1 + jnp.arange(J, dtype=jnp.int32)])
+    K_f = K_c[:, idx]
+    alphas = jnp.asarray([1.0, 0.1, 0.01])
+    rep = lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1))
+    al = jnp.repeat(alphas, S)
+
+    ls_full = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b, ls=True))
+    ls_comp = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b, ls=True,
+                                               k_knots=J + 1))
+    args_f = (rep(x0), rep(xs), rep(u0), rep(ks), rep(K_f), al)
+    args_c = (rep(x0), rep(xs), rep(u0), rep(ks), rep(K_c), al)
+    inj = lambda a, out, i: (a[0] + 1e-9 * out[0][:, 1, :],) + a[1:]
+    chain_time(f"LS rollout full-T Ks (B={A*S})", ls_full, args_f, inj)
+    chain_time(f"LS rollout compact Ks (J+1={J+1})", ls_comp, args_c, inj)
+
+    # sanity: identical trajectories
+    xf, uf = ls_full(*args_f)
+    xc, uc = ls_comp(*args_c)
+    print("LS match:", bool(jnp.all(xf == xc)), bool(jnp.all(uf == uc)),
+          flush=True)
+
+    for ck in (False, True):
+        solve = ilqr_fd.make_fd_solver(
+            mm, w, T, n_iters=2, block_b=block_b, relin_every=2,
+            lin_stride=50, forward_mode="fused", stationary_tail=tail,
+            compact_k=ck)
+        ms = chain_time(f"FULL solve compact_k={ck}", solve,
+                        (x0, params, u0),
+                        lambda a, out, i: (x0 + 1e-9 * out.xs[:, 0, :],
+                                           params, u0), n=8)
+        r = solve(x0, params, u0)
+        print(f"  cost {float(r.cost.mean()):.4f}  -> "
+              f"{1000.0 / ms:.2f} solves/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Experiment: where do quadratize's 15.4 ms go, and does restructuring fix
+it? (roofline 2026-08-20: quadratize 15.36 ms at S=4096 vs a 0.36 ms HBM
+floor — grads at 50 knots, Hessians at 6, terminal hessian at S.)
+
+Variants:
+  A current        vmap(vmap(grad-per-knot)) + vmap(hessian) tail + terminal
+  A1 grads-only    the (S, T) gradient half alone
+  A2 hess-only     the (S, J) Hessian tail alone
+  A3 term-only     vxT + vxxT alone
+  B batched-grad   ONE reverse pass of sum(cost over S*T) for lx/lu
+  B2 batched-hess  jacfwd over a batched-grad of the (S*J) tail
+Also: Riccati backward s_block 128 vs 256 (grid-step overhead halves).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_quadratize.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+
+N = 16
+
+
+def chain_time(name, fn, args, inject, n=N, warmup=2):
+    a = args
+    for i in range(warmup):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        a = inject(a, out, i + 1)
+    reps = []
+    for r in range(3):
+        t0 = time.time()
+        for i in range(n):
+            out = fn(*a)
+            a = inject(a, out, 100 * (r + 1) + i)
+        jax.block_until_ready(out)
+        reps.append((time.time() - t0) / n)
+    ms = float(np.median(reps)) * 1e3
+    print(f"{name:44s} {ms:8.2f} ms", flush=True)
+    return ms
+
+
+def main(S=4096, T=50, tail=6):
+    env, mm = benchmarks.make_go2_mpc()
+    w = mcosts.CostWeights()
+    nx = mdyn.nx(mm.model)
+    nu = mm.model.nj
+    x0, params = benchmarks.sample_scenarios(jax.random.PRNGKey(0), env, mm, S)
+    u0 = jnp.zeros((S, T, nu))
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        np.asarray(jnp.tile(x0[:, None], (1, T + 1, 1)))
+        + 0.01 * rng.standard_normal((S, T + 1, nx)).astype(np.float32))
+
+    def stage_cost(p, x, u, up, t):
+        return mcosts.stage_cost(mm, w, p, x, u, up, t)
+
+    def term_cost(p, x):
+        return mcosts.terminal_cost(mm, w, p, x)
+
+    J = tail
+    h0 = T - J
+    ts = jnp.arange(T)
+    over = lambda f, xr, ur, upr, tr: jax.vmap(
+        lambda p, xr, ur, upr: jax.vmap(f, in_axes=(None, 0, 0, 0, 0))(
+            p, xr, ur, upr, tr))(params, xr, ur, upr)
+
+    def gknot(p, x, u, upr, t):
+        return (jax.grad(stage_cost, argnums=1)(p, x, u, upr, t),
+                jax.grad(stage_cost, argnums=2)(p, x, u, upr, t))
+
+    def hknot(p, x, u, upr, t):
+        return (jax.hessian(stage_cost, argnums=1)(p, x, u, upr, t),
+                jax.hessian(stage_cost, argnums=2)(p, x, u, upr, t),
+                jax.jacfwd(jax.grad(stage_cost, argnums=2), argnums=1)(
+                    p, x, u, upr, t))
+
+    up = jnp.concatenate([u0[:, :1], u0[:, :-1]], axis=1)
+
+    @jax.jit
+    def a1_grads(xs, us):
+        upl = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        return over(gknot, xs[:, :-1], us, upl, ts)
+
+    @jax.jit
+    def a2_hess(xs, us):
+        upl = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        return over(hknot, xs[:, h0:-1], us[:, h0:], upl[:, h0:], ts[h0:])
+
+    @jax.jit
+    def a3_term(xs):
+        vxT = jax.vmap(jax.grad(term_cost, argnums=1))(params, xs[:, -1])
+        vxxT = jax.vmap(jax.hessian(term_cost, argnums=1))(params, xs[:, -1])
+        return vxT, vxxT
+
+    @jax.jit
+    def b_batched_grads(xs, us):
+        upl = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+
+        def total(xf, uf):
+            c = jax.vmap(
+                lambda p, xr, ur, upr: jax.vmap(
+                    stage_cost, in_axes=(None, 0, 0, 0, 0))(p, xr, ur, upr, ts)
+            )(params, xf, uf, upl)
+            return c.sum()
+
+        return jax.grad(total, argnums=(0, 1))(xs[:, :-1], us)
+
+    @jax.jit
+    def b2_batched_hess(xs, us):
+        upl = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        xt, ut, upt, tt = xs[:, h0:-1], us[:, h0:], upl[:, h0:], ts[h0:]
+
+        def gsum(xf, uf):
+            def c(p, xr, ur, upr):
+                return jax.vmap(stage_cost, in_axes=(None, 0, 0, 0, 0))(
+                    p, xr, ur, upr, tt).sum()
+
+            g = jax.grad(
+                lambda xf, uf: jax.vmap(c)(params, xf, uf, upt).sum(),
+                argnums=(0, 1))(xf, uf)
+            return g
+
+        # jacfwd over the batched gradient: tangents along x then u basis
+        lxx_lux = jax.jacfwd(lambda xf: gsum(xf, ut))(xt)
+        # lxx_lux[0]: (S,J,nx, S,J,nx) — too big; so instead push basis
+        # tangents through jvp per input dim (37 + 12 passes), batched
+        raise SystemExit  # placeholder; see b2_jvp below
+
+    @jax.jit
+    def b2_jvp(xs, us):
+        """Hessian tail via nx+nu jvp passes of the BATCHED grad function —
+        same math as vmap(hessian) but the tangent dim is a loop of big
+        batched passes instead of a per-sample jacfwd."""
+        upl = jnp.concatenate([us[:, :1], us[:, :-1]], axis=1)
+        xt, ut, upt, tt = xs[:, h0:-1], us[:, h0:], upl[:, h0:], ts[h0:]
+
+        def gboth(xf, uf):
+            def total(xf, uf):
+                c = jax.vmap(
+                    lambda p, xr, ur, upr: jax.vmap(
+                        stage_cost, in_axes=(None, 0, 0, 0, 0))(
+                        p, xr, ur, upr, tt))(params, xf, uf, upt)
+                return c.sum()
+
+            return jax.grad(total, argnums=(0, 1))(xf, uf)
+
+        def col_x(i):
+            tan = jnp.zeros_like(xt).at[:, :, i].set(1.0)
+            _, (gx, gu) = jax.jvp(gboth, (xt, ut), (tan, jnp.zeros_like(ut)))
+            return gx, gu  # column i of lxx (wrt x_i), and lux row block
+
+        def col_u(j):
+            tan = jnp.zeros_like(ut).at[:, :, j].set(1.0)
+            _, (gx, gu) = jax.jvp(gboth, (xt, ut), (jnp.zeros_like(xt), tan))
+            return gu  # column j of luu
+
+        lxx_cols = jax.vmap(col_x)(jnp.arange(nx))  # (nx, S, J, nx), (nx,S,J,nu)
+        luu_cols = jax.vmap(col_u)(jnp.arange(nu))
+        lxx = jnp.moveaxis(lxx_cols[0], 0, -1)  # (S,J,nx,nx) [d2c/dxj dxi]
+        lux = jnp.moveaxis(lxx_cols[1], 0, -1)  # (S,J,nu,nx)
+        luu = jnp.moveaxis(luu_cols, 0, -1)
+        return lxx, luu, lux
+
+    chain_time("A  current quadratize (grads+hess+term)",
+               jax.jit(lambda xs, us: (over(gknot, xs[:, :-1], us,
+                                            jnp.concatenate([us[:, :1], us[:, :-1]], axis=1), ts),
+                                       a2_hess(xs, us), a3_term(xs))),
+               (xs, u0), lambda a, out, i: (xs + 1e-9 * i, u0))
+    chain_time("A1 grads-only (S,T)", a1_grads, (xs, u0),
+               lambda a, out, i: (xs + 1e-9 * i, u0))
+    chain_time("A2 hess-only (S,J)", a2_hess, (xs, u0),
+               lambda a, out, i: (xs + 1e-9 * i, u0))
+    chain_time("A3 terminal-only", a3_term, (xs,),
+               lambda a, out, i: (xs + 1e-9 * i,))
+    chain_time("B  batched-grad (one reverse pass)", b_batched_grads,
+               (xs, u0), lambda a, out, i: (xs + 1e-9 * i, u0))
+    chain_time("B2 hess via jvp-of-batched-grad", b2_jvp, (xs, u0),
+               lambda a, out, i: (xs + 1e-9 * i, u0))
+
+    # equivalence spot-check
+    lx_a, lu_a = a1_grads(xs, u0)
+    lx_b, lu_b = b_batched_grads(xs, u0)
+    print("grads match:",
+          np.allclose(np.asarray(lx_a), np.asarray(lx_b), atol=1e-4),
+          np.allclose(np.asarray(lu_a), np.asarray(lu_b), atol=1e-4))
+    lxx_a, luu_a, lux_a = a2_hess(xs, u0)
+    lxx_b, luu_b, lux_b = b2_jvp(xs, u0)
+    print("hess match:",
+          np.allclose(np.asarray(lxx_a), np.asarray(lxx_b), atol=1e-3),
+          np.allclose(np.asarray(luu_a), np.asarray(luu_b), atol=1e-3),
+          np.allclose(np.asarray(lux_a), np.asarray(lux_b), atol=1e-3))
+
+    # ---- backward kernel s_block sweep ----
+    from hcr_genesis_lr_cl_tpu.ops.riccati_kernel import make_lane_backward
+
+    lx, lu = lx_a, lu_a
+    lxx, luu, lux = lxx_a, luu_a, lux_a
+    vxT, vxxT = a3_term(xs)
+    uidx = jnp.asarray(mm.model.user_dof_idx)
+    dyn = None
+    from hcr_genesis_lr_cl_tpu.mpc import fast_dynamics as fdy
+
+    dyn_batch = fdy.make_kernel_dyn(mm, block_b=2048)
+    _, fx1, fu1 = fdy.fd_linearize(dyn_batch, xs[:, 0, :], jnp.zeros((S, nu)))
+    fx_c, fu_c = fx1[:, None], fu1[:, None][..., uidx]
+    for sb in (128, 256, 512):
+        try:
+            bw = jax.jit(make_lane_backward(
+                nx, nu, T, reg=0.5, jac_stride=50, stationary_tail=tail,
+                hess_tail_only=True, s_block=sb))
+            chain_time(f"backward lanes tail={tail} s_block={sb}", bw,
+                       (fx_c, fu_c, lx, lu, lxx, luu, lux, vxT, vxxT),
+                       lambda a, out, i: (fx_c, fu_c, lx + 1e-9 * i, lu,
+                                          lxx, luu, lux, vxT, vxxT))
+        except Exception as e:
+            print(f"s_block={sb} failed: {type(e).__name__}: {str(e)[:120]}")
+
+
+if __name__ == "__main__":
+    main()

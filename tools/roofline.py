@@ -240,7 +240,7 @@ def main(S=4096, T=50, block_b=2048, lin_stride=50, tail=6):
     cs_bytes = MB * (B * (T + 1) * nx + B * T * nu
                      + S * ((T + 1) * nx + T * nu))
     chain_time(f"cost+select (B={B})", cost_sel, (xs_n, us_n),
-               lambda a, out, i: (xs_n + 1e-9 * out[0][:, :1, :1], us_n),
+               lambda a, out, i: (xs_n + 1e-9 * out[0][:1, :1, :1], us_n),
                gbytes=cs_bytes)
 
     # --- the composed solve, pipelined, as the ground truth ---
