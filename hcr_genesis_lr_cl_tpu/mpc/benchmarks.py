@@ -214,22 +214,42 @@ def _time_solver(solver, x0, params, u0, n_solves):
         jax.block_until_ready(res)
         times.append(time.time() - t0)
     times = np.asarray(times)
-    # throughput (solves/s): PIPELINED dispatch — submit all solves with
-    # distinct inputs, sync once. The synced per-solve loop above pays one
-    # ~30 ms tunnel dispatch per solve, which is real for LATENCY (p50/p99)
-    # but not for sustained rate: a control stack issues the next batch
-    # while the previous computes (bench_training measures the same way).
-    n_pipe = max(n_solves, 4)
-    xs_pipe = [jitter(200 + i) for i in range(n_pipe)]
-    jax.block_until_ready(xs_pipe)
+    # throughput (solves/s): DATA-DEPENDENT CHAIN — solve i+1's x0 carries a
+    # 1e-9-scaled term of solve i's output, so the chain serializes on the
+    # device and the tunnel dispatch overlaps. This is robust BY
+    # CONSTRUCTION where submit-all pipelining is not: the axon runtime was
+    # measured (2026-08-21) returning in ~2-5 ms for distinct-input repeat
+    # submissions of this very solve (p50 5.46 ms / "550 solves/s" vs the
+    # honest 67 ms) — some server-side result-cache/readiness path that
+    # jittered inputs alone do not defeat. A chained final output must flow
+    # through every solve, so its total wall time cannot be faked.
+    n_chain = max(n_solves, 8)
+    nj_sl = slice(13, 13 + nj)
+    x = jitter(200)
+    r0 = solver(x, params, u0)
+    jax.block_until_ready(r0)
+    x = jitter(201).at[..., nj_sl].add(1e-9 * r0.us[:, 0, :])
     t0 = time.time()
-    reses = [solver(x, params, u0) for x in xs_pipe]
-    jax.block_until_ready(reses)
-    pipe_dt = (time.time() - t0) / n_pipe
+    out = None
+    for i in range(n_chain):
+        out = solver(x, params, u0)
+        x = jitter(202 + i).at[..., nj_sl].add(1e-9 * out.us[:, 0, :])
+    jax.block_until_ready(out)
+    chain_dt = (time.time() - t0) / n_chain
+    chain_ms = chain_dt * 1e3
+    p50 = float(np.percentile(times, 50) * 1e3)
+    p99 = float(np.percentile(times, 99) * 1e3)
+    if p50 < 0.8 * chain_ms:
+        # the synced loop reported less than the chained per-solve compute —
+        # physically impossible; the result-cache fabricated it
+        print(f"# sync-latency loop implausible (p50 {p50:.1f} ms < chained "
+              f"{chain_ms:.1f} ms) — reporting chain-derived latency",
+              flush=True)
+        p50, p99 = chain_ms, chain_ms
     return res, {
-        "solves_per_sec": 1.0 / pipe_dt,
-        "p50_ms": float(np.percentile(times, 50) * 1e3),
-        "p99_ms": float(np.percentile(times, 99) * 1e3),
+        "solves_per_sec": 1.0 / chain_dt,
+        "p50_ms": p50,
+        "p99_ms": p99,
         "final_cost_mean": float(res.cost.mean()),
         "initial_cost_mean": float(res.cost_trace[:, 0].mean()),
     }

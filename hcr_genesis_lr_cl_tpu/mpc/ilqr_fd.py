@@ -121,7 +121,12 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
                                            interpret=interpret)
         _ls_rollout = rkn.make_horizon_rollout(
             mm, T, block_b=block_b, ls=True, interpret=interpret,
-            k_knots=(int(stationary_tail) + 1) if use_compact_k else None)
+            k_knots=(int(stationary_tail) + 1) if use_compact_k else None,
+            # alpha replication by index map: the kernel reads the S-sized
+            # nominal arrays once and fans them across the A alpha replicas
+            # in-grid, killing the host-side jnp.tile of xs/us/ks/Ks and
+            # the A-fold input streaming (exact; see rollout_kernel)
+            a_rep=A)
     else:
         def rollout(x0, us):
             """x0 (B, nx), us (B, T, nu) -> xs (B, T+1, nx)."""
@@ -218,13 +223,14 @@ def make_fd_solver(mm: mdyn.MpcModel, weights: mcosts.CostWeights, horizon: int,
         Batch layout: (A*S) rows; returns best (xs, us, cost) per scenario."""
         S = x0.shape[0]
         rep = lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1))
+
+        if forward_mode == "fused":
+            xs_n, us_n = _ls_rollout(x0, xs, us, ks, Ks, alphas_arr)
+            return _select_best(params, S, rep, xs_n, us_n)
+
         al = jnp.repeat(alphas_arr, S)  # (A*S,)
         x0b = rep(x0)
         xsb, usb, ksb, Ksb = rep(xs), rep(us), rep(ks), rep(Ks)
-
-        if forward_mode == "fused":
-            xs_n, us_n = _ls_rollout(x0b, xsb, usb, ksb, Ksb, al)
-            return _select_best(params, S, rep, xs_n, us_n)
 
         def fstep(x, inp):
             x_bar, u_bar, k, K = inp

@@ -52,7 +52,7 @@ def _unpack_rows(C, ref_rows):
     }
 
 
-def _kernel(C, ls, uidx, u_lo, u_hi, friction, *refs):
+def _kernel(C, ls, uidx, u_lo, u_hi, friction, nb_s, *refs):
     nj = C.nj
     nx = 13 + 2 * nj
     if ls:
@@ -72,7 +72,13 @@ def _kernel(C, ls, uidx, u_lo, u_hi, friction, *refs):
 
     # ---- control law ----
     if ls:
-        al = al_ref[0, :]
+        if nb_s is not None:
+            # alpha-replicated batch: grid block i covers replica i // nb_s
+            # of the S nominal rows; the whole (A, 1) alpha table sits in
+            # SMEM and the replica's scalar is read by program_id
+            al = al_ref[pl.program_id(0) // nb_s, 0] * ones
+        else:
+            al = al_ref[0, :]
         dx = [x[i] - xbar_ref[0, i, :] for i in range(nx)]
         u_user = [None] * nj
         for j in range(nj):
@@ -122,7 +128,8 @@ def _kernel(C, ls, uidx, u_lo, u_hi, friction, *refs):
 
 def make_horizon_rollout(mm: mdyn.MpcModel, horizon: int, block_b: int = 512,
                          ls: bool = False, interpret: bool = False,
-                         k_knots: int | None = None):
+                         k_knots: int | None = None,
+                         a_rep: int | None = None):
     """Open-loop: f(x0 (B,nx), us (B,T,nu_user)) -> xs (B,T+1,nx).
 
     Line-search (ls=True): f(x0 (B,nx), xs_bar (B,T+1,nx), us_bar (B,T,nu),
@@ -135,6 +142,15 @@ def make_horizon_rollout(mm: mdyn.MpcModel, horizon: int, block_b: int = 512,
     T-J+j (the layout riccati_kernel.make_lane_backward(compact_k=True)
     emits). The index map replays row 0 for the first T-J steps, so the
     solve's largest HBM stream shrinks T/(J+1)-fold with identical math.
+
+    a_rep=A (ls only): ALPHA-REPLICATED line search — the nominal arrays
+    come in S-sized (x0 (S,nx), xs_bar (S,T+1,nx), us_bar/ks (S,T,nu),
+    Ks (S,·,nu,nx)) plus an (A,) alpha grid, and the kernel's index maps
+    replay each S-block across the A replicas (block i reads source block
+    i % (S/bb); alpha i // (S/bb)). Outputs are (A*S)-row, alpha-major —
+    the exact layout of the old host-side jnp.tile, without materializing
+    the A-fold copies of every input (the solve's rep-tile glue) or
+    streaming them from HBM A times.
 
     B must not be tiny: it is padded here to a multiple of block_b.
     """
@@ -157,7 +173,48 @@ def make_horizon_rollout(mm: mdyn.MpcModel, horizon: int, block_b: int = 512,
     u_lo = tuple(float(v) for v in lo)
     u_hi = tuple(float(v) for v in hi)
     kern = functools.partial(_kernel, C, ls, uidx, u_lo, u_hi,
-                             float(mm.friction))
+                             float(mm.friction), None)
+
+    def call_lanes_arep(x0_l, xbar, ubar, kk, KK, al):
+        """Alpha-replicated line search: inputs are S-sized lane arrays
+        ((rows, Sp) / (T, rows, Sp)), al is (A, 1); outputs (T, rows, A*Sp)
+        alpha-major. Grid block i reads source block i % nb_s and alpha
+        i // nb_s."""
+        A = a_rep
+        Sp = x0_l.shape[1]
+        nb_s = max(1, Sp // block_b)
+        bb = min(block_b, Sp)
+        B = A * Sp
+        kern_a = functools.partial(_kernel, C, ls, uidx, u_lo, u_hi,
+                                   float(mm.friction), nb_s)
+        rep_s = lambda d: pl.BlockSpec((d, bb), lambda i, t: (0, i % nb_s),
+                                       memory_space=pltpu.VMEM)
+        stream_s = lambda d: pl.BlockSpec(
+            (1, d, bb), lambda i, t: (t, 0, i % nb_s),
+            memory_space=pltpu.VMEM)
+        if k_knots is not None:
+            Jk = T - (k_knots - 1)
+            k_stream = pl.BlockSpec(
+                (1, nj * nx, bb),
+                lambda i, t: (jnp.where(t < Jk, 0, t - Jk + 1), 0, i % nb_s),
+                memory_space=pltpu.VMEM)
+        else:
+            k_stream = stream_s(nj * nx)
+        al_spec = pl.BlockSpec((A, 1), lambda i, t: (0, 0),
+                               memory_space=pltpu.SMEM)
+        out_stream = lambda d: pl.BlockSpec(
+            (1, d, bb), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern_a,
+            grid=(A * nb_s, T),
+            in_specs=[rep_s(nx), stream_s(nx), stream_s(nj), stream_s(nj),
+                      k_stream, al_spec],
+            out_specs=[out_stream(nx), out_stream(nj)],
+            out_shape=[jax.ShapeDtypeStruct((T, nx, B), jnp.float32),
+                       jax.ShapeDtypeStruct((T, nj, B), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((nx, bb), jnp.float32)],
+            interpret=interpret,
+        )(x0_l, xbar, ubar, kk, KK, al)
 
     def call_lanes(x0_l, *streams):
         """x0_l (nx, B); streams are (T, rows, B) per-step inputs (+ alpha)."""
@@ -206,7 +263,30 @@ def make_horizon_rollout(mm: mdyn.MpcModel, horizon: int, block_b: int = 512,
 
     tl2 = lambda z: jnp.transpose(z, (1, 2, 0))  # (B, T, d) -> (T, d, B)
 
-    if ls:
+    if ls and a_rep is not None:
+        def rollout(x0, xs_bar, us_bar, ks, Ks, alphas):
+            """S-sized nominals + (A,) alphas -> alpha-major (A*S) outputs
+            (row a*S+s = scenario s rolled out at alphas[a])."""
+            S0 = x0.shape[0]
+            A = a_rep
+            TK = T if k_knots is None else k_knots
+            x0p = _pad(x0, S0)
+            Sp = x0p.shape[0]
+            xbar = tl2(_pad(xs_bar[:, :-1], S0))
+            ubar = tl2(_pad(us_bar, S0))
+            kk = tl2(_pad(ks, S0))
+            KK = tl2(_pad(Ks.reshape(S0, TK, nj * nx), S0))
+            al = jnp.asarray(alphas, jnp.float32).reshape(A, 1)
+            xs_l, us_l = call_lanes_arep(x0p.T, xbar, ubar, kk, KK, al)
+            # (T, d, A*Sp) -> (A*S0, T, d), dropping per-replica padding
+            unpack = lambda z: jnp.transpose(
+                z.reshape(z.shape[0], z.shape[1], A, Sp)[..., :S0],
+                (2, 3, 0, 1)).reshape(A * S0, T, z.shape[1])
+            xs = unpack(xs_l)
+            us = unpack(us_l)
+            x0b = jnp.tile(x0, (A, 1))
+            return jnp.concatenate([x0b[:, None], xs], axis=1), us
+    elif ls:
         def rollout(x0, xs_bar, us_bar, ks, Ks, alpha):
             B0 = x0.shape[0]
             TK = T if k_knots is None else k_knots

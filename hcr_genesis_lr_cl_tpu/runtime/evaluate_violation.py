@@ -33,6 +33,9 @@ def get_args(argv=None):
                          "discovery)")
     ap.add_argument("--random_policy", action="store_true")
     ap.add_argument("--logdir_root", default="logs")
+    ap.add_argument("--sim", action="append", metavar="K=V",
+                    help="SimCfg overrides (must match how the policy was "
+                         "trained, e.g. --sim contact_stiffness=16000)")
     return ap.parse_args(argv)
 
 
@@ -48,6 +51,11 @@ def evaluate(args):
     # curriculum can promote at eval speed
     cfg = cfg.replace(commands=cfg.commands.replace(
         ranges=cfg.commands.ranges.replace(lin_vel_x=(-1.0, 1.0))))
+    if args.sim:
+        import dataclasses
+
+        kv = {k: float(v) for k, v in (x.split("=", 1) for x in args.sim)}
+        cfg = cfg.replace(sim=dataclasses.replace(cfg.sim, **kv))
     env = registry.make_env(args.task, cfg=cfg)
     runner = make_runner(env, tcfg)
     st = runner.init_state(jax.random.PRNGKey(0))
@@ -85,22 +93,33 @@ def evaluate(args):
             viols = meter.compute_constraints(env_state)
             vmeans = {k: jnp.mean(v) for k, v in viols.items()}
             lvl = jnp.mean(env_state.terrain_row.astype(jnp.float32))
-            return (env_state, bundle), (vmeans, lvl)
+            # crouch diagnostic (VERDICT r5 item 5): the compliant-contact
+            # hypothesis says the robot stands ~penetration-depth lower than
+            # a rigid-contact sim would, pushing base_h toward the 0.25 m
+            # CaT limit and inflating base_height violations vs reference
+            bh = env_state.physics.base_pos[:, 2] - jnp.mean(
+                env_state.measured_hts, axis=-1)
+            return (env_state, bundle), (vmeans, lvl, jnp.mean(bh),
+                                         jnp.percentile(bh, 10.0))
 
-        (env_state, bundle), (vs, lvls) = jax.lax.scan(
+        (env_state, bundle), (vs, lvls, bhs, bh10s) = jax.lax.scan(
             body, (env_state, bundle), None, length=steps)
         # terrain level AT THE END of the 10-episode run — the reference
         # convention (evaluate_violation_cat.py:44 reads terrain_levels at
         # ep 9's last step, i.e. after the eval-time curriculum has climbed;
         # the all-step mean would average in the episode-0 warm-up levels)
-        return {k: v.sum() for k, v in vs.items()}, lvls[-1]
+        return ({k: v.sum() for k, v in vs.items()}, lvls[-1],
+                bhs.mean(), bh10s.mean())
 
-    vs, lvl = jax.device_get(rollout_eval(st.env_state, st.bundle))
+    vs, lvl, bh_mean, bh_p10 = jax.device_get(
+        rollout_eval(st.env_state, st.bundle))
     totals = {k: float(v) for k, v in vs.items()}
     levels = [float(lvl)]
 
     print(f"\ntask: {args.task}  episodes: {args.episodes}  envs: {args.num_envs}")
     print(f"mean terrain level: {np.mean(levels):.2f}")
+    print(f"base height above terrain: mean {float(bh_mean):.3f} m, "
+          f"p10 {float(bh_p10):.3f} m (target 0.34, CaT limit 0.25)")
     print("summed constraint violation means (10-episode convention, "
           "violation_comparison.txt):")
     for k in sorted(totals):

@@ -1,0 +1,70 @@
+"""Investigate VERDICT r4 weak #4: the S=1 receding-horizon closed-loop cost
+RISES 105.5 -> 111.7 over 50 ticks (S=64 falls, S=1024 holds). Questions:
+over 500+ ticks does it plateau, oscillate, or diverge? Is it an n_iters=1
+warm-start artifact (more iterations are free at S=1: 3 ms of a 20 ms
+budget)? And what does the PHYSICAL state do (height, attitude, velocity
+tracking) — is the robot degrading or is the planning cost just settling to
+the moving-robot regime?
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_receding_s1.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcr_genesis_lr_cl_tpu.mpc import benchmarks, receding
+from hcr_genesis_lr_cl_tpu.mpc import costs as mcosts
+from hcr_genesis_lr_cl_tpu.mpc import dynamics as mdyn
+
+
+def run(S=1, n_ticks=500, n_iters=1, seed=0):
+    env, mm = benchmarks.make_go2_mpc()
+    w = mcosts.CostWeights()
+    bb = min(1024, max(128, S))
+    init, tick = receding.make_receding_controller(
+        mm, w, 50, n_iters=n_iters, block_b=bb)
+    x0, params = benchmarks.sample_scenarios(jax.random.PRNGKey(seed), env,
+                                             mm, S)
+    st = init(x0, params)
+
+    @jax.jit
+    def scan(st):
+        def body(st, _):
+            st, u = tick(st, params)
+            m = mdyn.unpack(mm.model, st.x[0])
+            quat, pos, v = m[0], m[1], m[2]
+            lin = v[3:]
+            out = jnp.stack([
+                st.cost.mean(), pos[2],
+                jnp.linalg.norm(lin[:2] - params.command[0, :2]),
+                quat[0],  # qw ~ 1 means upright
+            ])
+            return st, out
+        st, tr = jax.lax.scan(body, st, None, length=n_ticks)
+        return st, tr
+
+    st, tr = scan(st)
+    tr = np.asarray(tr)
+    print(f"S={S} iters={n_iters} seed={seed} cmd="
+          f"{np.asarray(params.command)[0].round(3)}")
+    for k in range(0, n_ticks, max(1, n_ticks // 20)):
+        c, h, ve, qw = tr[k]
+        print(f"  tick {k:4d}: cost {c:8.2f}  base_h {h:.3f}  "
+              f"|v_err| {ve:.3f}  qw {qw:.4f}", flush=True)
+    c = tr[:, 0]
+    print(f"  cost first/last/min/max: {c[0]:.2f} {c[-1]:.2f} "
+          f"{c.min():.2f} {c.max():.2f}; last-100 mean {c[-100:].mean():.2f} "
+          f"std {c[-100:].std():.2f}", flush=True)
+    return tr
+
+
+if __name__ == "__main__":
+    run(S=1, n_ticks=500, n_iters=1)
+    run(S=1, n_ticks=500, n_iters=2)
+    run(S=1, n_ticks=500, n_iters=1, seed=3)

@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-5 TPU training/eval queue (VERDICT r4 items 5 + 8):
+#   - TS seed 1 at the reference 3000-iter schedule (third TS seed)
+#   - CaT seed 2 (second CaT seed; matched-seed pair with go2_ts_3000_s2)
+#   - violation evals for both (now with the base-height crouch diagnostic)
+#   - re-eval of the existing s0/s2 checkpoints to capture the diagnostic
+#   - crouch probe: go2_ts seed 2 with 2x contact stiffness (16 kN/m) —
+#     if compliant-contact penetration is what drags base_h toward the
+#     0.25 m limit, the stiffer run's violations should drop
+# Run from /root/repo:
+#   nohup bash tools/queue_r5.sh > runs_parity/queue_r5.log 2>&1 &
+set -x
+cd /root/repo
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
+
+python tools/exp_train.py --task go2_ts --iters 3000 --seed 1 \
+  --out runs_parity/go2_ts_3000_s1 --iters_per_call 10 \
+  && echo "ts3000 s1 done"
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_ts \
+  --ckpt runs_parity/go2_ts_3000_s1/model_3000.ckpt \
+  > runs_parity/violation_ts_3000_s1.txt 2>&1
+
+python tools/exp_train.py --task go2_cat --iters 3000 --seed 2 \
+  --out runs_parity/go2_cat_3000_s2 --iters_per_call 10 \
+  && echo "cat3000 s2 done"
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_cat \
+  --ckpt runs_parity/go2_cat_3000_s2/model_3000.ckpt \
+  > runs_parity/violation_cat_3000_s2.txt 2>&1
+
+# crouch-diagnostic re-evals of the existing r4 checkpoints
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_ts \
+  --ckpt runs_parity/go2_ts_3000/model_3000.ckpt \
+  > runs_parity/violation_ts_3000_rediag.txt 2>&1
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_cat \
+  --ckpt runs_parity/go2_cat_3000/model_3000.ckpt \
+  > runs_parity/violation_cat_3000_rediag.txt 2>&1
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_ts \
+  --ckpt runs_parity/go2_ts_3000_s2/model_3000.ckpt \
+  > runs_parity/violation_ts_3000_s2_rediag.txt 2>&1
+
+# crouch probe: stiffer contact (NOTE: changes the sim — a diagnostic run,
+# not a parity run)
+python tools/exp_train.py --task go2_ts --iters 3000 --seed 2 \
+  --out runs_parity/go2_ts_3000_s2_stiff --iters_per_call 10 \
+  --sim contact_stiffness=16000 --sim contact_damping=300 \
+  && echo "ts3000 s2 stiff done"
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_ts \
+  --ckpt runs_parity/go2_ts_3000_s2_stiff/model_3000.ckpt \
+  --sim contact_stiffness=16000 --sim contact_damping=300 \
+  > runs_parity/violation_ts_3000_s2_stiff.txt 2>&1
+
+echo "queue_r5 complete"

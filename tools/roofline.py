@@ -45,7 +45,7 @@ VPU_TFLOPS = 7.7
 _ROWS = []
 
 
-def chain_time(name, fn, args, inject, n=N_CHAIN, warmup=2,
+def chain_time(name, fn, args, inject, n=N_CHAIN, warmup=4,
                gbytes=None, gflop=None):
     """Median-of-3 pipelined per-call ms.
 
@@ -182,18 +182,19 @@ def main(S=4096, T=50, block_b=2048, lin_stride=50, tail=6):
 
     bw = jax.jit(make_lane_backward(nx, nu, T, reg=0.5, jac_stride=lin_stride,
                                     stationary_tail=tail,
-                                    hess_tail_only=True))
+                                    hess_tail_only=True, compact_k=True,
+                                    fold_tail=True))
     bw_args = (fx_c, fu_c, lx, lu, lxx, luu, lux, vxT, vxxT)
     bw_bytes = MB * (S * (nx * nx + nx * nu) * 2        # fx/fu + relayout
                      + S * T * (nx + nu) * 2
                      + S * J * (nx * nx + nu * nu + nu * nx) * 2
                      + S * nx * (nx + 1)
                      + S * T * nu * 2                   # ks out
-                     + S * T * nu * nx * 3)             # Ks out + relayout
+                     + S * (J + 1) * nu * nx * 3)       # compact Ks out
     # matrix knot ~6 rank-1 sweeps of nx^3-ish; vector knot ~2*nx^2 + nu^2
     bw_flop = 1e-9 * S * (J * (6 * nx * nx * nx + 3 * nu * nx * nx) * 2
                           + (T - J) * (2 * nx * nx + 3 * nu * nx) * 2)
-    chain_time(f"backward lanes (tail={tail})", bw, bw_args,
+    chain_time(f"backward lanes (tail={tail}, folded+compact)", bw, bw_args,
                lambda a, out, i: (fx_c, fu_c,
                                   lx + 1e-9 * out[0][:, :, :1] * 0.0 +
                                   1e-9 * (i + 1), lu, lxx, luu, lux, vxT,
@@ -202,7 +203,8 @@ def main(S=4096, T=50, block_b=2048, lin_stride=50, tail=6):
     ks, Ks = bw(*bw_args)
 
     # --- line-search rollout, A*S rows (2x per solve) ---
-    ls = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b, ls=True))
+    ls = jax.jit(rkn.make_horizon_rollout(mm, T, block_b=block_b, ls=True,
+                                          k_knots=J + 1))
     alphas = jnp.asarray([1.0, 0.1, 0.01])
     rep = lambda z: jnp.tile(z, (A,) + (1,) * (z.ndim - 1))
     al = jnp.repeat(alphas, S)
@@ -211,7 +213,7 @@ def main(S=4096, T=50, block_b=2048, lin_stride=50, tail=6):
     ls_bytes = MB * (B * nx
                      + B * T * nx * 3      # xs_bar + relayout
                      + B * T * nu * 3 * 2  # us_bar, ks + relayouts
-                     + B * T * nu * nx * 3  # Ks stream + relayout (LARGEST)
+                     + B * (J + 1) * nu * nx * 3  # compact Ks stream
                      + B * (T + 1) * nx * 3 + B * T * nu * 3)  # outs
     ls_flop = 1e-9 * (B * T * (4 * 8000 + 2 * nu * nx))
     chain_time(f"forward_ls_fused (B={B})", ls, ls_args,
