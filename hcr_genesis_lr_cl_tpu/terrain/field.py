@@ -20,15 +20,21 @@ from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
 from hcr_genesis_lr_cl_tpu.terrain.generators import BuiltTerrain, build_terrain
 
 
-PATCH_N = 32  # local-patch side length (cells)
-TILE_STRIDE = 8  # tile grid stride (cells)
+PATCH_N = 28  # local-patch side length (cells)
+TILE_STRIDE = 4  # tile grid stride (cells)
+# r5 (VERDICT r4 item 6): PATCH_N 32 -> 28 with TILE_STRIDE 8 -> 4 keeps the
+# SAME 11.5-cell guaranteed margin at 77% of the patch area. Every
+# gather-free query is a weight contraction over the whole patch, so query
+# cost scales with patch AREA and the rough step is query-dominated (the r3
+# 24->32 correctness fix cost ~24% throughput). The finer tile grid costs a
+# ~3x larger tile table in HBM (~250 MB for the training terrain).
 # Worst-case guaranteed clearance (cells) from the fetch center to either
 # patch edge: the tile start lands within (-(M+8), -M] of the center, so the
 # short side is always >= M cells. The reference-parity 187-point height grid
 # reaches sqrt(0.8^2 + 0.5^2) = 0.943 m = 9.43 cells from the base once
 # yaw-rotated (config measured_points_* ranges, sensors.py), plus one cell
 # for the bilinear/min3 upper neighbor -> 10.43 needed < 11.5 guaranteed.
-PATCH_MARGIN = (PATCH_N - TILE_STRIDE) / 2 - 0.5  # = 11.5 cells
+PATCH_MARGIN = (PATCH_N - TILE_STRIDE) / 2 - 0.5  # still 11.5 cells
 
 
 @struct.dataclass
