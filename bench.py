@@ -25,6 +25,12 @@ what ends the process; (b) sections are reordered anchor -> sysid -> flat
 last; (c) the bench-graph compile-cache entries are committed (.jax_cache/
 was gitignored, so drivers ran cold while the builder verified warm).
 
+Round-5 kernels (compact-K streaming, folded Riccati tail, alpha-replicated
+line search — all bitwise-exact, see ROOFLINE.md) take the headline from
+10.55 to ~14.4 solves/s at identical cost; the throughput timing is a
+data-dependent chain (mpc/benchmarks._time_solver), robust against the
+tunnel's result cache.
+
 Secondary lines (prefixed '#'): solve latency percentiles, stage profile,
 quality anchor, deployment latency table, and PPO training throughput
 (env steps/s — the reference's own figure of merit, on_policy_runner.py:191;

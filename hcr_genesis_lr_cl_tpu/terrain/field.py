@@ -20,14 +20,19 @@ from hcr_genesis_lr_cl_tpu.core.config import TerrainCfg
 from hcr_genesis_lr_cl_tpu.terrain.generators import BuiltTerrain, build_terrain
 
 
-PATCH_N = 28  # local-patch side length (cells)
-TILE_STRIDE = 4  # tile grid stride (cells)
-# r5 (VERDICT r4 item 6): PATCH_N 32 -> 28 with TILE_STRIDE 8 -> 4 keeps the
-# SAME 11.5-cell guaranteed margin at 77% of the patch area. Every
-# gather-free query is a weight contraction over the whole patch, so query
-# cost scales with patch AREA and the rough step is query-dominated (the r3
-# 24->32 correctness fix cost ~24% throughput). The finer tile grid costs a
-# ~3x larger tile table in HBM (~250 MB for the training terrain).
+PATCH_N = 32  # local-patch side length (cells)
+TILE_STRIDE = 8  # tile grid stride (cells)
+# r5 MEASURED REJECTION (VERDICT r4 item 6): PATCH_N=28 / TILE_STRIDE=4
+# (same 11.5-cell margin, 77% patch area, est. +15% rough throughput) FAILS
+# TO COMPILE in this environment: the tile table is captured as an
+# HLO-embedded constant, and the finer tile grid's ~3x larger table
+# (~250 MB) exceeds the axon remote-compile request-size limit (HTTP 413,
+# 2026-08-21 — it also broke the running training queue's go2_cat compile).
+# Recovering the area win requires threading the tile table through the
+# jitted functions as a runtime ARGUMENT instead of a closure constant —
+# a real refactor of TerrainField/EnvState, noted as the actual future-work
+# item. CPU-side correctness of the 28/4 config was verified (terrain +
+# env + kernel suites passed) before the compile limit rejected it.
 # Worst-case guaranteed clearance (cells) from the fetch center to either
 # patch edge: the tile start lands within (-(M+8), -M] of the center, so the
 # short side is always >= M cells. The reference-parity 187-point height grid

@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-5 queue, part 2 (after the PATCH_N=28/TILE_STRIDE=4 HTTP-413
+# rejection broke part 1 at the go2_cat compile): CaT seed 2 + the five
+# violation evals (TS s1 + CaT s2 + crouch-diagnostic re-evals of the r4
+# checkpoints). The 2x-stiffness probe was cut for round time.
+set -x
+cd /root/repo
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
+
+python tools/exp_train.py --task go2_cat --iters 3000 --seed 2 \
+  --out runs_parity/go2_cat_3000_s2 --iters_per_call 10 \
+  && echo "cat3000 s2 done"
+
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_ts \
+  --ckpt runs_parity/go2_ts_3000_s1/model_3000.ckpt \
+  > runs_parity/violation_ts_3000_s1.txt 2>&1
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_cat \
+  --ckpt runs_parity/go2_cat_3000_s2/model_3000.ckpt \
+  > runs_parity/violation_cat_3000_s2.txt 2>&1
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_ts \
+  --ckpt runs_parity/go2_ts_3000/model_3000.ckpt \
+  > runs_parity/violation_ts_3000_rediag.txt 2>&1
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_cat \
+  --ckpt runs_parity/go2_cat_3000/model_3000.ckpt \
+  > runs_parity/violation_cat_3000_rediag.txt 2>&1
+python -m hcr_genesis_lr_cl_tpu.runtime.evaluate_violation --task go2_ts \
+  --ckpt runs_parity/go2_ts_3000_s2/model_3000.ckpt \
+  > runs_parity/violation_ts_3000_s2_rediag.txt 2>&1
+echo "queue_r5b complete"
